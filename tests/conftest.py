@@ -9,10 +9,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session env pre-sets JAX_PLATFORMS=axon (experimental TPU tunnel) and a
+# sitecustomize hook force-updates jax_platforms to "axon,cpu" at interpreter
+# start — so the env var alone is NOT enough; explicitly re-update the jax
+# config before any backend is touched. Tests must run on the virtual-device
+# CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
