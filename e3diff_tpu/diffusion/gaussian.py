@@ -1,0 +1,127 @@
+"""Continuous wrapped-Gaussian DDPM over backbone angles.
+
+Forward process: reference NoisedAnglesDataset (structure_model/dataset.py:
+134-229) — noise is sampled N(0, I) then wrapped to [-pi, pi), and
+x_t = wrap(sqrt(a_bar_t) x0 + sqrt(1 - a_bar_t) eps). The network is
+trained to predict the *unwrapped* eps.
+
+Reverse process: reference p_sample / p_sample_loop (structure_model/
+sample.py:55-144) — standard DDPM ancestral sampling for eps-prediction
+with the posterior-variance noise term, wrapping x after every step.
+
+TPU design: noising happens *inside* the jitted train step from a PRNG key
+(no dataloader workers), and the reverse loop is one `lax.scan` over the
+timestep ladder with x_t carried on device; the full trajectory (T, B, L, F)
+is the scan's stacked output, matching the reference's trajectory-major
+pickle layout. All schedule terms are precomputed once (the reference
+recomputes compute_alphas every step — quirk Q13, fixed here as pure
+overhead with identical numerics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3diff_tpu.ops.angles import wrap_angle
+from e3diff_tpu.ops.schedules import compute_alphas, cosine_beta_schedule
+
+
+def sample_wrapped_noise(key, shape, dtype=jnp.float32):
+    """N(0, I) wrapped to [-pi, pi) (reference sample_noise,
+    structure_model/dataset.py:170-185, angular_var_scale == 1)."""
+    return wrap_angle(jax.random.normal(key, shape, dtype))
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianAngleDiffusion:
+    """Schedule-carrying continuous diffusion process.
+
+    `terms` are device-ready float32 arrays of shape (T,); see
+    ops.schedules.compute_alphas.
+    """
+
+    timesteps: int
+    terms: dict
+
+    @classmethod
+    def cosine(cls, timesteps: int = 1000) -> "GaussianAngleDiffusion":
+        betas = cosine_beta_schedule(timesteps)
+        return cls(timesteps=timesteps,
+                   terms={k: jnp.asarray(v) for k, v in compute_alphas(betas).items()})
+
+    # ---------------- forward (q) ----------------
+
+    def q_sample(self, x0, t, noise):
+        """x_t = wrap(sqrt(a_bar_t) x0 + sqrt(1-a_bar_t) eps); t: (B,) ints.
+
+        Matches _add_noise_by_timestep (structure_model/dataset.py:214-229).
+        """
+        sac = self.terms["sqrt_alphas_cumprod"][t][:, None, None]
+        somac = self.terms["sqrt_one_minus_alphas_cumprod"][t][:, None, None]
+        return wrap_angle(sac * x0 + somac * noise)
+
+    def noise_batch(self, key, x0, t=None):
+        """Sample (t, eps, x_t) for a training batch — the in-jit equivalent
+        of the reference's dataloader-worker noising."""
+        b = x0.shape[0]
+        key_t, key_n = jax.random.split(key)
+        if t is None:
+            t = jax.random.randint(key_t, (b,), 0, self.timesteps)
+        noise = sample_wrapped_noise(key_n, x0.shape, x0.dtype)
+        return t, noise, self.q_sample(x0, t, noise)
+
+    # ---------------- reverse (p) ----------------
+
+    def p_mean(self, x_t, eps_hat, t):
+        """DDPM posterior mean for eps-prediction
+        (structure_model/sample.py:90-92). t: (B,) ints (single unique value
+        per batch in the reference; fully vectorized here)."""
+        sra = self.terms["sqrt_recip_alphas"][t][:, None, None]
+        beta = self.terms["betas"][t][:, None, None]
+        somac = self.terms["sqrt_one_minus_alphas_cumprod"][t][:, None, None]
+        return sra * (x_t - beta * eps_hat / somac)
+
+    def p_step(self, key, x_t, eps_hat, t):
+        """One ancestral step: mean + sqrt(posterior_variance) z (z omitted
+        at t == 0), wrapped to [-pi, pi)."""
+        mean = self.p_mean(x_t, eps_hat, t)
+        spv = self.terms["sqrt_posterior_variance"][t][:, None, None]
+        z = jax.random.normal(key, x_t.shape, x_t.dtype)
+        keep_noise = (t > 0).astype(x_t.dtype)[:, None, None]
+        return wrap_angle(mean + keep_noise * spv * z)
+
+    def sample_loop(
+        self,
+        denoise_fn: Callable,   # (t_vec, x_t) -> eps_hat, closure over params/cond
+        key,
+        x_init,                 # (B, L, F) initial wrapped noise
+        *,
+        step: int = 1,
+        return_trajectory: bool = True,
+    ):
+        """`lax.scan` over reversed(range(0, T, step)).
+
+        Returns the final sample, plus the full trajectory stacked over
+        steps (newest last index ordering matches the reference's
+        noises-append order: index 0 is t=T-1) when requested.
+        """
+        t_values = jnp.asarray(
+            list(reversed(range(0, self.timesteps, step))), dtype=jnp.int32)
+        b = x_init.shape[0]
+
+        def body(carry, t_scalar):
+            x, k = carry
+            k, k_step = jax.random.split(k)
+            t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            eps_hat = denoise_fn(t_vec, x)
+            x = self.p_step(k_step, x, eps_hat, t_vec)
+            return (x, k), (x if return_trajectory else None)
+
+        (x_final, _), traj = jax.lax.scan(body, (x_init, key), t_values)
+        return (x_final, traj) if return_trajectory else (x_final, None)
