@@ -1,0 +1,21 @@
+from e3diff_tpu.data.dataset import (
+    AA_VOCAB,
+    SS_VOCAB,
+    FEATURE_NAMES,
+    LigandBindingSiteData,
+    load_complexes,
+    pocket_extend_mask,
+    split_complexes,
+)
+from e3diff_tpu.data.synthetic import synthetic_complexes
+
+__all__ = [
+    "AA_VOCAB",
+    "SS_VOCAB",
+    "FEATURE_NAMES",
+    "LigandBindingSiteData",
+    "load_complexes",
+    "pocket_extend_mask",
+    "split_complexes",
+    "synthetic_complexes",
+]

@@ -1,0 +1,134 @@
+"""Jitted training/eval for the sequence D3PM (inverse folding).
+
+One fused step = in-jit BLOSUM substitution noising + forward + losses +
+backward + AdamW, replacing the reference's host-side per-token multinomial
+loop + Lightning training_step (sequence_model/model.py:291-367).
+
+Reference loss semantics kept exactly (SURVEY.md Q10/Q11):
+* t sampled uniformly in {0..T} INCLUSIVE;
+* the model is conditioned on t/T (float in [0,1]);
+* noised_mask = positions where the noised class differs from the original
+  (padding auto-excluded: both argmax to class 0/zero-vector);
+* total loss = CE(noised positions) + ELBO(noised positions); the CE over
+  un-noised ligand positions is computed and logged but NOT added.
+
+The reference's CE over an empty noised set is NaN; we guard the masked
+mean with max(count, 1) — only reachable when an entire batch draws
+near-identity transitions, which the reference would NaN on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
+from e3diff_tpu.ops.elbo import elbo_loss
+
+
+def masked_cross_entropy(logits, target_onehot, mask):
+    """Mean CE over masked positions (== torch CE on boolean-indexed rows)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(target_onehot * logp, axis=-1)
+    m = mask.astype(ce.dtype)
+    return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def sequence_losses(pred_logits, noised_seq, ligand_seq, ligand_mask):
+    """Returns (total_loss, metrics dict) — reference get_loss
+    (sequence_model/model.py:313-345)."""
+    lig_mask = ligand_mask.astype(bool)
+    noised_mask = noised_seq.argmax(-1) != ligand_seq.argmax(-1)
+
+    denom = jnp.maximum(lig_mask.sum(), 1)
+    aa_noise_rate = (jnp.where(
+        lig_mask, noised_seq.argmax(-1) == ligand_seq.argmax(-1), False
+    ).sum() / denom)
+    aa_recovery_rate = (jnp.where(
+        lig_mask, pred_logits.argmax(-1) == ligand_seq.argmax(-1), False
+    ).sum() / denom)
+
+    aa_noised_loss = masked_cross_entropy(pred_logits, ligand_seq, noised_mask)
+    aa_all_loss = masked_cross_entropy(
+        pred_logits, ligand_seq, lig_mask & (~noised_mask))
+    elbo = elbo_loss(pred_logits, ligand_seq, mask=noised_mask)
+
+    total = aa_noised_loss + elbo
+    return total, {
+        "aa_noise_rate": aa_noise_rate,
+        "aa_recovery_rate": aa_recovery_rate,
+        "aa_noised_loss": aa_noised_loss,
+        "aa_all_loss": aa_all_loss,
+        "elbo_loss": elbo,
+    }
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass(eq=False)  # hash by id: jit static self
+class SequenceTrainer:
+    model: Any
+    diffusion: D3PMDiffusion
+    optimizer: optax.GradientTransformation
+
+    def create_state(self, rng, sample_batch) -> TrainState:
+        b = sample_batch["ligand_seq"].shape[0]
+        params = self.model.init(
+            rng,
+            jnp.zeros((b, 1), jnp.float32),
+            jnp.asarray(sample_batch["ligand_seq"]),
+            jnp.asarray(sample_batch["ligand_angles"]),
+            jnp.asarray(sample_batch["ligand_attn_mask"]),
+            jnp.asarray(sample_batch["receptor_seq"]),
+            jnp.asarray(sample_batch["receptor_angles"]),
+            jnp.asarray(sample_batch["receptor_attn_mask"]),
+        )["params"]
+        return TrainState.create(apply_fn=self.model.apply, params=params,
+                                 tx=self.optimizer)
+
+    def _losses(self, params, batch, rng, deterministic):
+        rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
+        b = batch["ligand_seq"].shape[0]
+        # Q10: t in {0..T} inclusive
+        t_int = jax.random.randint(
+            rng_t, (b,), 0, self.diffusion.timesteps + 1)
+        t_norm = (t_int.astype(jnp.float32) / self.diffusion.timesteps)[:, None]
+        noised = self.diffusion.apply_aa_noise(
+            rng_noise, batch["ligand_seq"], t_int)
+        pred = self.model.apply(
+            {"params": params}, t_norm, noised,
+            batch["ligand_angles"], batch["ligand_attn_mask"],
+            batch["receptor_seq"], batch["receptor_angles"],
+            batch["receptor_attn_mask"],
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": rng_drop})
+        total, metrics = sequence_losses(
+            pred, noised, batch["ligand_seq"], batch["ligand_attn_mask"])
+        metrics["avg_timestep"] = t_int.mean()
+        return total, metrics
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            self._losses, argnums=0, has_aux=True)(
+                state.params, batch, rng, False)
+        state = state.apply_gradients(grads=grads)
+        metrics = {f"train_{k}": v for k, v in metrics.items()}
+        metrics["train_loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch, rng):
+        loss, metrics = self._losses(state.params, batch, rng, True)
+        metrics = {f"val_{k}": v for k, v in metrics.items()}
+        metrics["val_loss"] = loss
+        return metrics

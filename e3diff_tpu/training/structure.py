@@ -1,0 +1,115 @@
+"""Jitted training/eval for the structure (angle) DDPM.
+
+One fused step = PRNG noising + forward + per-channel radian losses +
+backward + clip + AdamW — the TPU equivalent of the reference's
+dataloader-worker noising + Lightning training_step
+(structure_model/model.py:266-359, SURVEY.md §3.1).
+
+Loss assignment (reference train_model.py:94-95): the first 4 feature
+channels (dihedrals) use radian L1, the last 4 (bond angles) use smooth L1
+with beta = pi/10; each channel averaged over unmasked ligand positions,
+total = mean over the 8 channels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from e3diff_tpu.diffusion.gaussian import GaussianAngleDiffusion
+from e3diff_tpu.ops.angles import radian_l1_loss, radian_smooth_l1_loss
+
+FEATURE_NAMES = ["phi", "psi", "omega", "dihedral_o",
+                 "tau", "CA:C:1N", "1C:N:CA", "CA:C:O"]
+SMOOTH_L1_BETA = float(np.pi / 10)
+
+
+def structure_loss_terms(pred_noise, known_noise, ligand_mask):
+    """Per-channel masked losses; returns (8,) array ordered as
+    FEATURE_NAMES. Identical value to the reference's boolean-index-then-
+    mean (model.py:293-302)."""
+    mask = ligand_mask  # (B, L)
+    terms = []
+    for i in range(pred_noise.shape[-1]):
+        if i < 4:
+            terms.append(radian_l1_loss(
+                pred_noise[..., i], known_noise[..., i], mask=mask))
+        else:
+            terms.append(radian_smooth_l1_loss(
+                pred_noise[..., i], known_noise[..., i],
+                beta=SMOOTH_L1_BETA, mask=mask))
+    return jnp.stack(terms)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass(eq=False)  # hash by id: jit static self
+class StructureTrainer:
+    """Bundles model + diffusion + optimizer into jitted steps.
+
+    `train_step(state, batch, rng)` and `eval_step(state, batch, rng)`
+    operate on batches of:
+      ligand_angles (B,L,8), ligand_attn_mask (B,L),
+      receptor_angles (B,L,8), receptor_attn_mask (B,L),
+      receptor_seq (B,L,20)
+    """
+
+    model: Any
+    diffusion: GaussianAngleDiffusion
+    optimizer: optax.GradientTransformation
+
+    def create_state(self, rng, sample_batch) -> TrainState:
+        b = sample_batch["ligand_angles"].shape[:2]
+        params = self.model.init(
+            rng,
+            jnp.zeros((b[0],), jnp.int32),
+            jnp.asarray(sample_batch["ligand_angles"]),
+            jnp.asarray(sample_batch["ligand_attn_mask"]),
+            jnp.asarray(sample_batch["receptor_seq"]),
+            jnp.asarray(sample_batch["receptor_angles"]),
+            jnp.asarray(sample_batch["receptor_attn_mask"]),
+        )["params"]
+        return TrainState.create(apply_fn=self.model.apply, params=params,
+                                 tx=self.optimizer)
+
+    def _losses(self, params, batch, rng, deterministic):
+        rng_noise, rng_drop = jax.random.split(rng)
+        t, noise, x_t = self.diffusion.noise_batch(
+            rng_noise, batch["ligand_angles"])
+        pred = self.model.apply(
+            {"params": params}, t, x_t,
+            batch["ligand_attn_mask"], batch["receptor_seq"],
+            batch["receptor_angles"], batch["receptor_attn_mask"],
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": rng_drop})
+        terms = structure_loss_terms(pred, noise, batch["ligand_attn_mask"])
+        return jnp.mean(terms), terms
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch, rng):
+        (loss, terms), grads = jax.value_and_grad(
+            self._losses, argnums=0, has_aux=True)(
+                state.params, batch, rng, False)
+        state = state.apply_gradients(grads=grads)
+        metrics = {f"train_loss_{n}": terms[i]
+                   for i, n in enumerate(FEATURE_NAMES)}
+        metrics["train_loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch, rng):
+        loss, terms = self._losses(state.params, batch, rng, True)
+        metrics = {f"val_loss_{n}": terms[i]
+                   for i, n in enumerate(FEATURE_NAMES)}
+        metrics["val_loss"] = loss
+        return metrics

@@ -1,0 +1,109 @@
+"""Dataset parity vs the reference LigandBindingSiteDataset (loaded
+read-only, fed the same synthetic complex file)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from e3diff_tpu.data import (  # noqa: E402
+    LigandBindingSiteData,
+    load_complexes,
+    pocket_extend_mask,
+    split_complexes,
+    synthetic_complexes,
+)
+from tests.reference_compat import load_reference_module  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def synthetic_pt(tmp_path_factory):
+    """Synthetic complexes saved in the reference's torch .pt schema."""
+    data = synthetic_complexes(n=12, seed=7)
+    torch_data = []
+    for d in data:
+        td = dict(d)
+        for k in ["coors", "numerical_features", "angle_features",
+                  "edge_index", "ligand_idx", "pocket_idx"]:
+            td[k] = torch.tensor(d[k])
+        td["ligand_mask"] = torch.tensor(d["ligand_mask"])
+        td["pocket_mask"] = torch.tensor(d["pocket_mask"])
+        torch_data.append(td)
+    path = tmp_path_factory.mktemp("data") / "synthetic.pt"
+    torch.save(torch_data, str(path))
+    return str(path)
+
+
+@pytest.mark.parametrize("split", ["train", "validation", "test"])
+@pytest.mark.parametrize("ext", [0, 1, 4])
+def test_dataset_parity(synthetic_pt, split, ext):
+    ref_ds_mod = load_reference_module("structure_model", "dataset")
+    ref = ref_ds_mod.LigandBindingSiteDataset(
+        synthetic_pt, split, max_len=64, pocket_ext=ext)
+    mine = LigandBindingSiteData(
+        load_complexes(synthetic_pt), split, max_len=64, pocket_ext=ext)
+
+    assert len(ref) == len(mine)
+    for i in range(len(ref)):
+        want = ref[i]
+        got = mine[i]
+        np.testing.assert_allclose(
+            got["ligand_angles"], want["ligand_angles"].numpy(), atol=1e-6)
+        np.testing.assert_array_equal(
+            got["ligand_attn_mask"], want["ligand_attn_mask"].numpy())
+        np.testing.assert_allclose(
+            got["receptor_angles"], want["receptor_angles"].numpy(), atol=1e-6)
+        np.testing.assert_array_equal(
+            got["receptor_attn_mask"], want["receptor_attn_mask"].numpy())
+        np.testing.assert_array_equal(
+            got["receptor_seq"], want["receptor_seq"].numpy())
+        assert got["ligand_length"] == int(want["ligand_length"])
+        assert got["receptor_length"] == int(want["receptor_length"])
+        assert mine.structure_ids[i] == ref.get_structure_id(i)
+
+
+def test_sequence_variant_parity(synthetic_pt):
+    """The sequence-model dataset also returns ligand_seq."""
+    ref_ds_mod = load_reference_module("sequence_model", "dataset")
+    ref = ref_ds_mod.LigandBindingSiteDataset(
+        synthetic_pt, "test", max_len=64, pocket_ext=1)
+    mine = LigandBindingSiteData(
+        load_complexes(synthetic_pt), "test", max_len=64, pocket_ext=1)
+    for i in range(len(ref)):
+        np.testing.assert_array_equal(
+            mine[i]["ligand_seq"], ref[i]["ligand_seq"].numpy())
+
+
+def test_pocket_ext_wraparound_quirk():
+    """Q2: rolled-around bits at indices 1..ext-1 survive (only [0]/[-1]
+    cleared)."""
+    m = np.zeros(10, bool)
+    m[9] = True  # last residue in pocket
+    ext = 3
+    got = pocket_extend_mask(m, ext)
+    # roll(+3) puts index 9 -> 2 (wraparound, survives since only [0] cleared)
+    assert got[2]
+    assert got[6]  # roll(-3): 9 -> 6 legitimate
+    assert got[9]
+
+
+def test_split_proportions_and_disjointness():
+    data = list(range(100))
+    tr = split_complexes(data, "train")
+    va = split_complexes(data, "validation")
+    te = split_complexes(data, "test")
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert not (set(tr) & set(va)) and not (set(va) & set(te))
+    assert sorted(tr + va + te) == data
+
+
+def test_batches_pad_final():
+    data = synthetic_complexes(n=7, seed=1)
+    ds = LigandBindingSiteData(data, None, max_len=64, pocket_ext=1)
+    batches = list(ds.batches(4))
+    assert len(batches) == 2
+    assert batches[1]["ligand_angles"].shape[0] == 4
+    assert batches[1]["num_valid"] == 3
+    # padded rows have zero attention masks
+    np.testing.assert_array_equal(
+        batches[1]["ligand_attn_mask"][3:], 0.0)
