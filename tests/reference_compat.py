@@ -34,23 +34,45 @@ def _install_lightning_stub():
     sys.modules["pytorch_lightning.callbacks"] = callbacks
 
 
-def load_reference_module(package: str, module: str):
+def _install_biotite_stub():
+    """create_pdb.py imports biotite at module level but the NERF classes
+    under test never touch it; stub the two imported names."""
+    if "biotite" in sys.modules:
+        return
+    biotite = types.ModuleType("biotite")
+    structure = types.ModuleType("biotite.structure")
+    io = types.ModuleType("biotite.structure.io")
+    pdb = types.ModuleType("biotite.structure.io.pdb")
+    pdb.PDBFile = object
+    structure.io = io
+    io.pdb = pdb
+    biotite.structure = structure
+    sys.modules["biotite"] = biotite
+    sys.modules["biotite.structure"] = structure
+    sys.modules["biotite.structure.io"] = io
+    sys.modules["biotite.structure.io.pdb"] = pdb
+
+
+def load_reference_module(package: str, module: str, preload=("utils",)):
     """Load e.g. ('structure_model', 'model') as an isolated module object.
 
     Handles the reference's flat `from utils import ...` imports by loading
-    the sibling utils first under the plain name 'utils', scoped per call.
+    the named sibling modules first under their plain names, scoped per call.
     """
     _install_lightning_stub()
+    _install_biotite_stub()
     pkg_dir = f"{REFERENCE_ROOT}/{package}"
 
-    saved = {k: sys.modules.pop(k) for k in ("utils", "model", "dataset")
-             if k in sys.modules}
+    plain_names = ("utils", "model", "dataset")
+    saved = {k: sys.modules.pop(k) for k in plain_names if k in sys.modules}
     sys.path.insert(0, pkg_dir)
     try:
-        spec = importlib.util.spec_from_file_location("utils", f"{pkg_dir}/utils.py")
-        utils_mod = importlib.util.module_from_spec(spec)
-        sys.modules["utils"] = utils_mod
-        spec.loader.exec_module(utils_mod)
+        for name in preload:
+            spec = importlib.util.spec_from_file_location(
+                name, f"{pkg_dir}/{name}.py")
+            pre_mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = pre_mod
+            spec.loader.exec_module(pre_mod)
 
         spec = importlib.util.spec_from_file_location(
             f"ref_{package}_{module}", f"{pkg_dir}/{module}.py")
@@ -59,6 +81,6 @@ def load_reference_module(package: str, module: str):
         return mod
     finally:
         sys.path.remove(pkg_dir)
-        for k in ("utils", "model", "dataset"):
+        for k in plain_names:
             sys.modules.pop(k, None)
         sys.modules.update(saved)
