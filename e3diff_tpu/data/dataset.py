@@ -178,6 +178,7 @@ class LigandBindingSiteData:
             np.random.default_rng(seed).shuffle(order)
         for start in range(0, n, batch_size):
             idx = order[start:start + batch_size]
+            ids = [self.structure_ids[j] for j in idx]
             if len(idx) < batch_size:
                 if drop_last:
                     return
@@ -188,8 +189,10 @@ class LigandBindingSiteData:
                         batch[k] = np.concatenate(
                             [v[idx], np.zeros(pad_shape, v.dtype)])
                     batch["num_valid"] = np.int32(len(idx))
+                    batch["structure_ids"] = ids
                     yield batch
                     return
             batch = {k: v[idx] for k, v in self.arrays.items()}
             batch["num_valid"] = np.int32(len(idx))
+            batch["structure_ids"] = ids
             yield batch

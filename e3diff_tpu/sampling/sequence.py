@@ -1,0 +1,93 @@
+"""Batched sequence (inverse-folding) sampling with recovery-rate metrics.
+
+Rebuild of sequence_model/sample.py:181-258 and
+sample_by_generated_angles.py: run the 50-step D3PM posterior loop per test
+batch (one jitted lax.scan), argmax the final logits, decode to amino-acid
+strings, and report per-sample recovery rates. ``generated_angles`` swaps
+the native ligand backbone angles for structure-model output (the
+end-to-end pipeline variant, which the reference pairs with the uniform
+transition instead of BLOSUM).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3diff_tpu.data.dataset import AA_VOCAB
+from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
+
+
+def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True):
+    """Returns a jitted f(params, batch, key) -> final logits (B, L, K)."""
+
+    @jax.jit
+    def run(params, batch, key):
+        key_init, key_loop = jax.random.split(key)
+        b, l, k = batch["ligand_seq"].shape
+        x_init = d3pm.init_noise(key_init, b, l,
+                                 dtype=batch["ligand_seq"].dtype)
+
+        def denoise_fn(s_arr, x):
+            return model.apply(
+                {"params": params}, s_arr, x,
+                batch["ligand_angles"], batch["ligand_attn_mask"],
+                batch["receptor_seq"], batch["receptor_angles"],
+                batch["receptor_attn_mask"],
+                deterministic=True)
+
+        return d3pm.sample_loop(denoise_fn, key_loop, x_init, diverse=diverse)
+
+    return run
+
+
+def decode(indices: np.ndarray, mask: np.ndarray) -> str:
+    return "".join(AA_VOCAB[i] for i in indices[mask.astype(bool)])
+
+
+def sample_sequence_batches(
+    params,
+    model: Any,
+    d3pm: D3PMDiffusion,
+    batches: Iterable[dict],
+    key,
+    *,
+    diverse: bool = True,
+    generated_angles: Sequence[np.ndarray] | None = None,
+) -> dict:
+    """Returns dict with structure_ids, true_sequence, predict_sequence,
+    recovery_rate lists (the reference's pickled DataFrame columns)."""
+    sampler = make_sequence_sampler(model, d3pm, diverse=diverse)
+    out = {"structure_ids": [], "true_sequence": [],
+           "predict_sequence": [], "recovery_rate": []}
+
+    for batch_idx, batch in enumerate(batches):
+        key, bkey = jax.random.split(key)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ("num_valid", "structure_ids")}
+        if generated_angles is not None:
+            jbatch["ligand_angles"] = jnp.asarray(
+                generated_angles[batch_idx], jbatch["ligand_angles"].dtype)
+        logits = np.asarray(sampler(params, jbatch, bkey))
+
+        pred = logits.argmax(-1)
+        true = np.asarray(batch["ligand_seq"]).argmax(-1)
+        masks = np.asarray(batch["ligand_attn_mask"])
+        num_valid = int(batch.get("num_valid", pred.shape[0]))
+        ids = batch.get("structure_ids",
+                        [{} for _ in range(pred.shape[0])])
+
+        for i in range(num_valid):
+            m = masks[i].astype(bool)
+            denom = max(m.sum(), 1)
+            rec = float((pred[i][m] == true[i][m]).sum() / denom)
+            out["recovery_rate"].append(rec)
+            out["predict_sequence"].append(decode(pred[i], masks[i]))
+            out["true_sequence"].append(decode(true[i], masks[i]))
+            sid = ids[i] if i < len(ids) else {}
+            out["structure_ids"].append(
+                f'{sid.get("pdb_id", "?")}_{sid.get("ligand_chain", "?")}')
+    return out

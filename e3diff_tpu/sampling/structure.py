@@ -1,0 +1,86 @@
+"""Batched structure (angle) sampling.
+
+Rebuild of structure_model/sample.py:200-245: chunk the test set into
+fixed-size batches, draw wrapped-Gaussian initial noise, run the
+1000-step DDPM reverse loop, and trim each sample's trajectory to its true
+ligand length. The whole reverse loop is ONE jitted lax.scan per batch
+shape; only the final trajectory is pulled to host.
+
+Reference quirk Q5 (the `break` after the first batch, sample.py:237) is
+exposed as ``first_batch_only`` (default True = reference-faithful).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3diff_tpu.diffusion.gaussian import (
+    GaussianAngleDiffusion,
+    sample_wrapped_noise,
+)
+
+
+def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
+                           step: int = 1, return_trajectory: bool = True):
+    """Returns a jitted f(params, batch, key) -> (final, trajectory)."""
+
+    @jax.jit
+    def run(params, batch, key):
+        key_init, key_loop = jax.random.split(key)
+        x_init = sample_wrapped_noise(
+            key_init, batch["ligand_angles"].shape,
+            batch["ligand_angles"].dtype)
+
+        def denoise_fn(t_vec, x):
+            return model.apply(
+                {"params": params}, t_vec, x,
+                batch["ligand_attn_mask"], batch["receptor_seq"],
+                batch["receptor_angles"], batch["receptor_attn_mask"],
+                deterministic=True)
+
+        return diffusion.sample_loop(
+            denoise_fn, key_loop, x_init, step=step,
+            return_trajectory=return_trajectory)
+
+    return run
+
+
+def sample_structure_batches(
+    params,
+    model: Any,
+    diffusion: GaussianAngleDiffusion,
+    batches: Iterable[dict],
+    key,
+    *,
+    step: int = 1,
+    first_batch_only: bool = True,
+    return_trajectory: bool = True,
+) -> list[np.ndarray]:
+    """Returns a list of per-sample arrays shaped (T, len_i, 8) (trajectory)
+    or (len_i, 8) (final only), matching the reference output.pkl layout."""
+    sampler = make_structure_sampler(model, diffusion, step=step,
+                                     return_trajectory=return_trajectory)
+    results = []
+    for batch in batches:
+        key, bkey = jax.random.split(key)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ("num_valid", "structure_ids")}
+        final, traj = sampler(params, jbatch, bkey)
+        lengths = np.asarray(batch["ligand_attn_mask"]).sum(1).astype(int)
+        num_valid = int(batch.get("num_valid", len(lengths)))
+        if return_trajectory:
+            traj = np.asarray(traj)
+            results.extend(traj[:, i, :lengths[i], :]
+                           for i in range(num_valid))
+        else:
+            final = np.asarray(final)
+            results.extend(final[i, :lengths[i], :]
+                           for i in range(num_valid))
+        if first_batch_only:
+            break
+    return results
