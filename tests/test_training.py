@@ -49,7 +49,7 @@ def test_lr_schedule_matches_reference_shape():
 
 
 def test_structure_training_reduces_loss():
-    batch = {k: v for k, v in _data().items() if k != "num_valid"}
+    batch = {k: v for k, v in _data().items() if k not in ("num_valid", "structure_ids")}
     model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
     diff = GaussianAngleDiffusion.cosine(100)
     trainer = StructureTrainer(
@@ -87,7 +87,7 @@ def test_structure_training_reduces_loss():
 
 
 def test_sequence_training_reduces_loss():
-    batch = {k: v for k, v in _data().items() if k != "num_valid"}
+    batch = {k: v for k, v in _data().items() if k not in ("num_valid", "structure_ids")}
     model = SequenceDenoiser(_tiny_cfg(False, "xavier_all"),
                              _tiny_cfg(True, "xavier_all"))
     d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=50)
@@ -118,7 +118,7 @@ def test_sequence_training_reduces_loss():
 def test_fourier_w_is_frozen():
     """The GFP W buffer must not move under training (stop_gradient +
     decay mask)."""
-    batch = {k: v for k, v in _data().items() if k != "num_valid"}
+    batch = {k: v for k, v in _data().items() if k not in ("num_valid", "structure_ids")}
     model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
     diff = GaussianAngleDiffusion.cosine(100)
     rng = jax.random.PRNGKey(2)
