@@ -1,0 +1,98 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: peptides sampled per second per chip with the FULL-SIZE
+structure model (~146M params) at T=1000 DDPM steps, batch 64, max_len 64
+(the reference's canonical sampling config, structure_model/sample.py:
+16-41). The whole 1000-step reverse loop is one jitted lax.scan with
+bfloat16 matmuls (TPU analog of the reference's TF32 'medium' precision).
+
+vs_baseline compares against the BASELINE.json target of sampling a
+<=16-residue peptide in < 2 s on one v5e chip: the target rate is
+64 peptides / 2 s = 32 peptides/s; vs_baseline = rate / 32 (>1 beats it).
+
+Run on the real TPU (default platform) or JAX_PLATFORMS=cpu for a smoke
+run with E3DIFF_BENCH_SMOKE=1 (tiny model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from e3diff_tpu.diffusion import GaussianAngleDiffusion
+    from e3diff_tpu.models import StructureDenoiser, structure_model_configs, TransformerConfig
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    smoke = os.environ.get("E3DIFF_BENCH_SMOKE", "") == "1"
+    b, l, t_steps = (8, 16, 20) if smoke else (64, 64, 1000)
+
+    if smoke:
+        enc_cfg = TransformerConfig(
+            hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+            max_position_embeddings=l, dtype=jnp.bfloat16)
+        dec_cfg = TransformerConfig(
+            hidden_size=64, num_heads=4, num_layers=2, intermediate_size=128,
+            max_position_embeddings=l, add_cross_attention=True,
+            dtype=jnp.bfloat16)
+    else:
+        enc_cfg, dec_cfg = structure_model_configs(
+            max_seq_len=l, dtype=jnp.bfloat16)
+    model = StructureDenoiser(enc_cfg, dec_cfg)
+    diffusion = GaussianAngleDiffusion.cosine(t_steps)
+
+    rng = np.random.default_rng(0)
+    lig_len = 16
+    batch = {
+        "ligand_angles": np.zeros((b, l, 8), np.float32),
+        "ligand_attn_mask": np.tile(
+            (np.arange(l) < lig_len).astype(np.float32), (b, 1)),
+        "receptor_seq": np.eye(20, dtype=np.float32)[
+            rng.integers(0, 20, (b, l))],
+        "receptor_angles": rng.uniform(
+            -np.pi, np.pi, (b, l, 8)).astype(np.float32),
+        "receptor_attn_mask": np.ones((b, l), np.float32),
+    }
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((b,), jnp.int32),
+        jbatch["ligand_angles"], jbatch["ligand_attn_mask"],
+        jbatch["receptor_seq"], jbatch["receptor_angles"],
+        jbatch["receptor_attn_mask"])["params"]
+
+    sampler = make_structure_sampler(model, diffusion, step=1,
+                                     return_trajectory=False)
+
+    # compile
+    final, _ = sampler(params, jbatch, jax.random.PRNGKey(1))
+    final.block_until_ready()
+
+    # timed runs
+    times = []
+    for i in range(2 if not smoke else 1):
+        start = time.perf_counter()
+        final, _ = sampler(params, jbatch, jax.random.PRNGKey(2 + i))
+        final.block_until_ready()
+        times.append(time.perf_counter() - start)
+    elapsed = min(times)
+
+    rate = b / elapsed
+    target_rate = 64 / 2.0  # BASELINE.json: batch of 64 in < 2 s
+    print(json.dumps({
+        "metric": "structure_ddpm_peptides_per_sec_T1000_b64_len64_146M",
+        "value": round(rate, 3),
+        "unit": "peptides/s/chip",
+        "vs_baseline": round(rate / target_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

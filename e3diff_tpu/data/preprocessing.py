@@ -1,0 +1,325 @@
+"""BioLiP -> tensor-dataset preprocessing pipeline.
+
+Rebuild of clean_data/data_preprocessing.py: read the BioLiP metadata TSV,
+parse each complex (PDB/mmCIF via Biopython), compute per-residue DSSP
+features + 8 backbone angles, locate pocket residues, and emit the
+list-of-dict complex schema consumed by LigandBindingSiteData.
+
+Design split for testability and portability:
+* pure-numpy geometry (``calc_angle``, ``calc_dihedral``,
+  ``extract_angle_dihedrals``) operates on plain coordinate dicts —
+  parity-tested against the reference;
+* Biopython/DSSP-dependent code is import-gated (`requires_biopython`);
+  preprocessing is offline/host-side and never touches the TPU path. The
+  cleaned dataset is a cacheable artifact (save once, train forever).
+
+Angle dict insertion order (quirk Q1 feeds off this): omega, phi, psi,
+dihedral_o, theta1(N:CA:C), theta2(CA:C:1N), theta3(-1C:N:CA),
+theta_o(CA:C:O) — stored in DEGREES and converted with deg2rad when the
+complex record is assembled (reference :720-730, :886).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Sequence
+
+import numpy as np
+
+BIOLIP_META_HEADER = [
+    "pdb_id", "receptor_chain", "resolution", "binding_site",
+    "ligand_ccd_id", "ligand_chain", "ligand_serial_num",
+    "binding_site_pdb", "binding_site_reorder", "catalyst_site_pdb",
+    "catalyst_site_reorder", "enzyme_class_id", "go_term_id",
+    "binding_affinity_literature", "binding_affinity_binding_moad",
+    "binding_affinity_pdbind_cn", "binding_affinity_binding_db",
+    "uniprot_db", "pubmed_id", "ligand_res_num", "receptor_seq",
+]
+
+
+# ---------------------------------------------------------------------------
+# Pure geometry (parity with reference :621-661)
+# ---------------------------------------------------------------------------
+
+def calc_angle(p1, p2, p3) -> float:
+    """Planar angle at p2, in degrees."""
+    v1 = np.asarray(p2) - np.asarray(p1)
+    v2 = np.asarray(p2) - np.asarray(p3)
+    mag = np.linalg.norm(v1) * np.linalg.norm(v2)
+    if mag == 0:
+        raise ValueError(
+            "One of the vectors has zero magnitude, leading to an "
+            "undefined angle.")
+    cos_theta = np.clip(np.dot(v1, v2) / mag, -1.0, 1.0)
+    return float(np.degrees(np.arccos(cos_theta)))
+
+
+def calc_dihedral(p1, p2, p3, p4) -> float:
+    """Signed dihedral (degrees), sign via scalar triple product with the
+    middle bond vector — reference formula (:637-661)."""
+    p1, p2, p3, p4 = (np.asarray(p) for p in (p1, p2, p3, p4))
+    v1, v2, v3 = p2 - p1, p3 - p2, p4 - p3
+    n1 = np.cross(v1, v2)
+    n2 = np.cross(v2, v3)
+    n1 = n1 / np.linalg.norm(n1)
+    n2 = n2 / np.linalg.norm(n2)
+    cos_theta = np.clip(np.dot(n1, n2), -1.0, 1.0)
+    sign = np.sign(np.dot(np.cross(n1, n2), v2))
+    return float(np.degrees(np.arccos(cos_theta) * sign))
+
+
+def extract_angle_dihedrals(residue_coords: Sequence[dict]) -> list[dict]:
+    """8 angles for residues 1..n-2. Each input dict needs keys
+    'N','CA','C','O' mapping to xyz triples (reference :688-731)."""
+    out = []
+    for i in range(1, len(residue_coords) - 1):
+        prev_r = residue_coords[i - 1]
+        r = residue_coords[i]
+        next_r = residue_coords[i + 1]
+        prev_C, prev_CA = prev_r["C"], prev_r["CA"]
+        N, CA, C, O = r["N"], r["CA"], r["C"], r["O"]
+        next_N = next_r["N"]
+        out.append({
+            "omega": calc_dihedral(prev_CA, prev_C, N, CA),
+            "phi": calc_dihedral(prev_C, N, CA, C),
+            "psi": calc_dihedral(N, CA, C, next_N),
+            "dihedral_o": calc_dihedral(N, CA, C, O),
+            "theta1": calc_angle(N, CA, C),
+            "theta2": calc_angle(CA, C, next_N),
+            "theta3": calc_angle(prev_C, N, CA),
+            "theta_o": calc_angle(CA, C, O),
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Record assembly (parity with reference create_data :838-893)
+# ---------------------------------------------------------------------------
+
+def build_complex_record(structure_ids: dict, receptor: list[dict],
+                         ligand: list[dict], pocket_idx: list[int]) -> dict:
+    """Assemble one dataset record from per-residue feature dicts.
+
+    Each residue dict carries the DSSP features + the 8 angle keys in the
+    Q1 insertion order; the first/last residue of each chain is dropped
+    (they lack angles). `pocket_idx` indexes the UNTRIMMED receptor list,
+    exactly like the reference (so trimming shifts pocket indices by -1 —
+    replicated: the reference sets pocket_mask[pocket_idx] on the trimmed
+    arrays without adjusting)."""
+    receptor = receptor[1:-1]
+    ligand = ligand[1:-1]
+
+    def seq(rs, key):
+        return [r[key] for r in rs]
+
+    amino_acid = seq(receptor, "amino_acid") + seq(ligand, "amino_acid")
+    secondary = seq(receptor, "secondary_structure") + seq(
+        ligand, "secondary_structure")
+    secondary = ["-" if c == "P" else c for c in secondary]
+
+    def numerical(r):
+        # rel ASA + the 4 H-bond energies: stride-2 slice over the dict's
+        # value order (reference :862-866)
+        return list(r.values())[3:-8:2]
+
+    numerical_features = [numerical(r) for r in receptor] + [
+        numerical(r) for r in ligand]
+    angle_features = [list(r.values())[-8:] for r in receptor] + [
+        list(r.values())[-8:] for r in ligand]
+    pos = seq(receptor, "alpha_carbon_coord") + seq(
+        ligand, "alpha_carbon_coord")
+
+    n_rec, n_lig = len(receptor), len(ligand)
+    ligand_idx = list(range(n_rec, n_rec + n_lig))
+    pocket_mask = np.zeros(n_rec + n_lig, dtype=bool)
+    pocket_mask[pocket_idx] = True
+    edge_idx = np.array(
+        list(itertools.product(ligand_idx, pocket_idx)), dtype=np.int64)
+
+    return {
+        "structure_ids": structure_ids,
+        "coors": np.asarray(pos, np.float32),
+        "amino_acid": amino_acid,
+        "secondary_structure": secondary,
+        "numerical_features": np.asarray(numerical_features, np.float32),
+        "angle_features": np.deg2rad(
+            np.asarray(angle_features, np.float32)).astype(np.float32),
+        "edge_index": edge_idx.T.reshape(2, -1),
+        "ligand_mask": np.concatenate(
+            [np.zeros(n_rec, bool), np.ones(n_lig, bool)]),
+        "ligand_idx": np.asarray(ligand_idx, np.int32),
+        "pocket_mask": pocket_mask,
+        "pocket_idx": np.asarray(pocket_idx, np.int32),
+    }
+
+
+def filter_records(parsed: list) -> list[dict]:
+    """res_to_dataset (:895-907): drop failures, complexes containing 'X',
+    and ligands shorter than 5 residues; assemble records."""
+    data = [r for r in parsed if not r[1]["msg"]]
+    keep = []
+    for r in data:
+        rec_seq = [res["amino_acid"] for res in r[1]["receptor"]]
+        lig_seq = [res["amino_acid"] for res in r[1]["ligand"]]
+        if "X" in rec_seq or "X" in lig_seq:
+            continue
+        if len(r[1]["ligand"]) < 5:
+            continue
+        keep.append(r)
+    return [build_complex_record(r[0], r[1]["receptor"], r[1]["ligand"],
+                                 r[1]["pocket_idx"]) for r in keep]
+
+
+# ---------------------------------------------------------------------------
+# Biopython/DSSP-dependent parsing (import-gated)
+# ---------------------------------------------------------------------------
+
+def requires_biopython():
+    try:
+        import Bio  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "BioLiP preprocessing needs biopython (+ a dssp binary on "
+            "PATH). The cleaned dataset is a cacheable artifact — run "
+            "preprocessing once in an environment that has them, or load "
+            "an existing biolip.pt / native pickle.") from e
+
+
+def _residue_coord_dicts(residues) -> list[dict]:
+    return [{a: res[a].get_coord() for a in ("N", "CA", "C", "O")}
+            for res in residues]
+
+
+def create_res_id_map(chain):
+    """Residue-id map handling insertion codes (reference :734-744)."""
+    id_map = {}
+    for res in chain.get_residues():
+        res_id = str(res.get_id()[1])
+        full_id = (res_id + res.get_id()[2]).strip()
+        id_map[full_id] = res
+        if res_id != full_id and res_id not in id_map:
+            id_map[res_id] = res
+    return id_map
+
+
+def extract_dssp_features(structure, file_path) -> dict:
+    """Per-chain DSSP features (reference :746-769). Keeps the Biopython
+    residue object under 'res' for downstream angle/pocket lookup."""
+    from Bio.PDB.DSSP import DSSP
+
+    dssp = DSSP(structure, file_path)
+    chain_id_map, features = {}, {}
+    for k in dssp.keys():
+        chain_id = k[0]
+        residue_id = (str(k[1][1]) + str(k[1][2])).strip()
+        if chain_id not in chain_id_map:
+            chain_id_map[chain_id] = create_res_id_map(structure[chain_id])
+        res = chain_id_map[chain_id][residue_id]
+        features.setdefault(chain_id, []).append({
+            "res": res,
+            "alpha_carbon_coord": list(res["CA"].get_coord().astype(float)),
+            "amino_acid": dssp[k][1],
+            "secondary_structure": dssp[k][2],
+            "relative_ASA": dssp[k][3],
+            "NH_O_1_relidx": dssp[k][6], "NH_O_1_energy": dssp[k][7],
+            "O_NH_1_relidx": dssp[k][8], "O_NH_1_energy": dssp[k][9],
+            "NH_O_2_relidx": dssp[k][10], "NH_O_2_energy": dssp[k][11],
+            "O_NH_2_relidx": dssp[k][12], "O_NH_2_energy": dssp[k][13],
+        })
+    return features
+
+
+def parse_record(record, structure_folder: str):
+    """Parse one BioLiP row -> [structure_ids, features-or-error]
+    (reference parse_by_record :776-831)."""
+    structure_ids = {
+        "pdb_id": record.pdb_id,
+        "receptor_chain": record.receptor_chain,
+        "ligand_chain": record.ligand_chain,
+    }
+    try:
+        requires_biopython()
+        from Bio.PDB import MMCIFParser, PDBParser
+
+        pdb_path = os.path.join(structure_folder, f"{record.pdb_id}.pdb")
+        cif_path = os.path.join(structure_folder, f"{record.pdb_id}.cif")
+        if os.path.exists(pdb_path):
+            file_path, parser = pdb_path, PDBParser(QUIET=True)
+        elif os.path.exists(cif_path):
+            file_path, parser = cif_path, MMCIFParser(QUIET=True)
+        else:
+            raise FileNotFoundError(f"no structure for {record.pdb_id}")
+        structure = parser.get_structure("87", file_path)[0]
+
+        features = extract_dssp_features(structure, file_path)
+        for chain_id in [record.receptor_chain, record.ligand_chain]:
+            chain = features[chain_id]
+            coords = _residue_coord_dicts([r["res"] for r in chain])
+            for idx, angles in enumerate(extract_angle_dihedrals(coords)):
+                chain[idx + 1].update(angles)
+
+        # pocket lookup: exact full-id (with insertion code) first, then
+        # bare residue number (reference :802-822)
+        pocket_ids = [rid[1:] for rid in record.binding_site_pdb.split()]
+        receptor_feats = features[record.receptor_chain]
+        msg = False
+        pocket_idx = []
+        for rid in pocket_ids:
+            idx = -1
+            for i, r in enumerate(receptor_feats):
+                full_id = (str(r["res"].get_id()[1]) +
+                           r["res"].get_id()[2]).strip()
+                if rid == full_id:
+                    idx = i
+            if idx == -1:
+                for i, r in enumerate(receptor_feats):
+                    if rid == str(r["res"].get_id()[1]).strip():
+                        idx = i
+            if idx != -1:
+                pocket_idx.append(idx)
+            else:
+                msg = f"{rid} not found."
+
+        def drop_res(feats):
+            for r in feats:
+                r.pop("res", None)
+            return feats
+
+        return [structure_ids, {
+            "receptor": drop_res(features[record.receptor_chain]),
+            "ligand": drop_res(features[record.ligand_chain]),
+            "pocket_idx": pocket_idx,
+            "msg": msg,
+        }]
+    except Exception as e:  # per-record fault isolation (reference :830-831)
+        return [structure_ids, {"msg": str(e)}]
+
+
+def run_preprocessing(meta_file: str, structure_folder: str,
+                      output_file: str, workers: int = 16) -> list[dict]:
+    """Full pipeline: TSV -> parallel parse -> filter -> save
+    (reference __main__ :909-921)."""
+    import multiprocessing as mp
+
+    import pandas as pd
+
+    from e3diff_tpu.data.dataset import save_complexes
+
+    requires_biopython()
+    complexes = pd.read_csv(meta_file, sep="\t", names=BIOLIP_META_HEADER)
+    complexes.drop_duplicates(subset="pdb_id", inplace=True)
+    complexes.reset_index(drop=True, inplace=True)
+    complexes = complexes.loc[complexes.resolution < 5]
+    rows = [complexes.iloc[i] for i in range(len(complexes))]
+
+    if workers > 1:
+        with mp.Pool(workers) as pool:
+            parsed = pool.starmap(
+                parse_record, [(r, structure_folder) for r in rows])
+    else:
+        parsed = [parse_record(r, structure_folder) for r in rows]
+
+    records = filter_records(parsed)
+    save_complexes(records, output_file)
+    return records

@@ -10,8 +10,14 @@ Rebuild of ConditionalBertForDiffusionBase (structure_model/model.py:157-231):
   head:            MLPHead(768 -> 8) predicting epsilon
 
 Position information enters only through relative_key attention (the
-reference computes absolute position ids and never uses them — SURVEY.md Q6;
-we simply don't compute them)."""
+reference computes absolute position ids and never uses them — SURVEY.md
+Q6; we simply don't compute them).
+
+The receptor encoder is timestep-independent, so ``encode_receptor`` /
+``decode`` are exposed separately: samplers encode the pocket ONCE and run
+only the decoder inside the T-step scan (the reference re-encodes the
+receptor on every one of its 1000 sampling steps — pure waste; identical
+numerics). ``__call__`` composes both for training."""
 
 from __future__ import annotations
 
@@ -35,7 +41,51 @@ class StructureDenoiser(nn.Module):
     n_features: int = 8
     n_aa: int = 20
 
-    @nn.compact
+    def setup(self):
+        enc_cfg, dec_cfg = self.encoder_config, self.decoder_config
+        self.receptor_angle_emb = FeatureEmbedding(
+            enc_cfg, self.n_features, name="receptor_angle_emb")
+        self.receptor_seq_emb = FeatureEmbedding(
+            enc_cfg, self.n_aa, name="receptor_seq_emb")
+        self.receptor_emb = SELayer(enc_cfg, name="receptor_emb")
+        self.encoder = TransformerStack(enc_cfg, name="encoder")
+        self.ligand_angle_emb = FeatureEmbedding(
+            dec_cfg, self.n_features, name="ligand_angle_emb")
+        self.timestep_projector = GaussianFourierProjection(
+            dec_cfg, name="timestep_projector")
+        self.timestep_emb = SELayer(dec_cfg, name="timestep_emb")
+        self.decoder = TransformerStack(dec_cfg, name="decoder")
+        self.angles_predictor = MLPHead(
+            dec_cfg, self.n_features, name="angles_predictor")
+
+    def encode_receptor(self, receptor_seq, receptor_angles, receptor_mask,
+                        *, deterministic: bool = True):
+        """Timestep-independent pocket encoding -> (B, L, H) memory."""
+        enc_cfg = self.encoder_config
+        rec_ext = extend_attention_mask(receptor_mask, enc_cfg.dtype)
+        rec_angles = self.receptor_angle_emb(
+            receptor_angles, deterministic=deterministic)
+        rec_seq = self.receptor_seq_emb(
+            receptor_seq, deterministic=deterministic)
+        rec = self.receptor_emb(rec_angles, rec_seq, rec_ext,
+                                deterministic=deterministic)
+        return self.encoder(rec, rec_ext, deterministic=deterministic)
+
+    def decode(self, timestep, noised_ligand_angles, ligand_mask,
+               encoder_out, receptor_mask, *, deterministic: bool = True):
+        """Denoise ligand angles against a precomputed pocket encoding."""
+        dec_cfg = self.decoder_config
+        lig_ext = extend_attention_mask(ligand_mask, dec_cfg.dtype)
+        rec_ext = extend_attention_mask(receptor_mask, dec_cfg.dtype)
+        lig = self.ligand_angle_emb(
+            noised_ligand_angles, deterministic=deterministic)
+        t_emb = self.timestep_projector(jnp.asarray(timestep))[:, None, :]
+        lig = self.timestep_emb(lig, t_emb, lig_ext,
+                                deterministic=deterministic)
+        dec_out = self.decoder(lig, lig_ext, encoder_out, rec_ext,
+                               deterministic=deterministic)
+        return self.angles_predictor(dec_out)
+
     def __call__(
         self,
         timestep,              # (B,) or (B,1) int/float diffusion step
@@ -47,29 +97,9 @@ class StructureDenoiser(nn.Module):
         *,
         deterministic: bool = True,
     ):
-        enc_cfg, dec_cfg = self.encoder_config, self.decoder_config
-        lig_ext = extend_attention_mask(ligand_mask, dec_cfg.dtype)
-        rec_ext = extend_attention_mask(receptor_mask, enc_cfg.dtype)
-
-        # --- receptor encoder ---
-        rec_angles = FeatureEmbedding(enc_cfg, self.n_features,
-                                      name="receptor_angle_emb")(
-            receptor_angles, deterministic=deterministic)
-        rec_seq = FeatureEmbedding(enc_cfg, self.n_aa, name="receptor_seq_emb")(
-            receptor_seq, deterministic=deterministic)
-        rec = SELayer(enc_cfg, name="receptor_emb")(
-            rec_angles, rec_seq, rec_ext, deterministic=deterministic)
-        enc_out = TransformerStack(enc_cfg, name="encoder")(
-            rec, rec_ext, deterministic=deterministic)
-
-        # --- ligand decoder ---
-        lig = FeatureEmbedding(dec_cfg, self.n_features, name="ligand_angle_emb")(
-            noised_ligand_angles, deterministic=deterministic)
-        t_emb = GaussianFourierProjection(dec_cfg, name="timestep_projector")(
-            jnp.asarray(timestep))[:, None, :]
-        lig = SELayer(dec_cfg, name="timestep_emb")(
-            lig, t_emb, lig_ext, deterministic=deterministic)
-        dec_out = TransformerStack(dec_cfg, name="decoder")(
-            lig, lig_ext, enc_out, rec_ext, deterministic=deterministic)
-
-        return MLPHead(dec_cfg, self.n_features, name="angles_predictor")(dec_out)
+        enc_out = self.encode_receptor(
+            receptor_seq, receptor_angles, receptor_mask,
+            deterministic=deterministic)
+        return self.decode(
+            timestep, noised_ligand_angles, ligand_mask, enc_out,
+            receptor_mask, deterministic=deterministic)

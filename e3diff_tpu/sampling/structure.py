@@ -36,12 +36,19 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
             key_init, batch["ligand_angles"].shape,
             batch["ligand_angles"].dtype)
 
+        # the pocket encoding is timestep-independent: compute ONCE, not
+        # once per diffusion step (the reference re-encodes every step)
+        enc_out = model.apply(
+            {"params": params}, batch["receptor_seq"],
+            batch["receptor_angles"], batch["receptor_attn_mask"],
+            deterministic=True, method=model.encode_receptor)
+
         def denoise_fn(t_vec, x):
             return model.apply(
                 {"params": params}, t_vec, x,
-                batch["ligand_attn_mask"], batch["receptor_seq"],
-                batch["receptor_angles"], batch["receptor_attn_mask"],
-                deterministic=True)
+                batch["ligand_attn_mask"], enc_out,
+                batch["receptor_attn_mask"],
+                deterministic=True, method=model.decode)
 
         return diffusion.sample_loop(
             denoise_fn, key_loop, x_init, step=step,
