@@ -114,8 +114,15 @@ class LigandBindingSiteData:
     feature_names = FEATURE_NAMES
 
     def __init__(self, complexes: list[dict], split: str | None,
-                 max_len: int = 64, pocket_ext: int = 1):
+                 max_len: int = 64, pocket_ext: int = 1,
+                 ligand_max_len: int | None = None):
+        """ligand_max_len enables bucketed ligand padding: peptides are
+        short (>=5, typically <=16 residues) while pockets need the full
+        max_len, so padding the ligand to its own bucket cuts decoder
+        tokens ~4x at sampling time. None = max_len (reference-faithful:
+        both sides padded identically)."""
         self.max_len = max_len
+        self.ligand_max_len = ligand_max_len or max_len
         self.pocket_ext = pocket_ext
         complexes = split_complexes(complexes, split)
 
@@ -140,14 +147,15 @@ class LigandBindingSiteData:
             poc_angles = angles[pocket]
             poc_seq = np.asarray(aa, dtype=np.float32)[pocket]
 
-            lam = np.zeros(max_len, np.float32)
+            lam = np.zeros(self.ligand_max_len, np.float32)
             lam[:lig_mask.sum()] = 1.0
             pam = np.zeros(max_len, np.float32)
             pam[:pocket.sum()] = 1.0
 
-            fields["ligand_angles"].append(_pad_to(lig_angles, max_len))
+            fields["ligand_angles"].append(
+                _pad_to(lig_angles, self.ligand_max_len))
             fields["ligand_attn_mask"].append(lam)
-            fields["ligand_seq"].append(_pad_to(lig_seq, max_len))
+            fields["ligand_seq"].append(_pad_to(lig_seq, self.ligand_max_len))
             fields["receptor_angles"].append(_pad_to(poc_angles, max_len))
             fields["receptor_attn_mask"].append(pam)
             fields["receptor_seq"].append(_pad_to(poc_seq, max_len))

@@ -113,11 +113,14 @@ class MultiHeadAttention(nn.Module):
         k = make_dense(cfg, h, "key", fan_in=h)(kv)
         v = make_dense(cfg, h, "value", fan_in=h)(kv)
 
-        q = q.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+        # contract directly in (B, L, H, D) layout — no head transposes
+        # (XLA materializes .transpose copies; dot_general batch dims don't
+        # need them)
+        q = q.reshape(b, lq, nh, hd)
+        k = k.reshape(b, lk, nh, hd)
+        v = v.reshape(b, lk, nh, hd)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
 
         if self.relative and cfg.position_embedding_type == "relative_key":
             max_pos = cfg.max_position_embeddings
@@ -128,7 +131,7 @@ class MultiHeadAttention(nn.Module):
                            name="distance_embedding")
             distance = (jnp.arange(lq)[:, None] - jnp.arange(lk)[None, :])
             pe = rel(distance + max_pos - 1)  # (Lq, Lk, hd)
-            scores = scores + jnp.einsum("bhld,lrd->bhlr", q, pe)
+            scores = scores + jnp.einsum("blhd,lrd->bhlr", q, pe)
 
         scores = scores / math.sqrt(hd)
         if extended_mask is not None:
@@ -136,8 +139,8 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
 
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        return ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(b, lq, h)
 
 
 class AttentionBlock(nn.Module):

@@ -76,7 +76,9 @@ def run_pipeline(
     # sample_by_generated_angles.py:253)
     d3pm = D3PMDiffusion.create(UniformTransition(20),
                                 timesteps=sequence_timesteps)
-    generated_batches = _pad_generated(sampled, test_data.max_len, batches)
+    generated_batches = _pad_generated(
+        sampled, getattr(test_data, "ligand_max_len", test_data.max_len),
+        batches)
     results = sample_sequence_batches(
         sequence_params, sequence_model, d3pm, batches, key_q,
         diverse=diverse, generated_angles=generated_batches)

@@ -1,0 +1,92 @@
+"""Experiment presets reproducing the reference's module-level CONFIG dicts.
+
+The reference has no flag system — every entry script carries an inline
+CONFIG edited in place (structure_model/train_model.py:18-39,
+sample.py:20-41; sequence_model/train_model.py:17-39, sample.py:28-50).
+These presets are the typed equivalents; CLIs expose every field as a flag.
+
+max_seq_len rule (reference comment, train_model.py:17): ext<=1 models use
+64, larger pocket extensions use 128.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # data
+    pocket_ext: int = 4
+    max_seq_len: int = 128
+    ligand_max_len: int | None = None   # bucketed ligand padding (TPU perf);
+                                        # None = max_seq_len (reference-faithful)
+    # diffusion
+    timesteps: int = 1000
+    noise_schedule: str = "cosine"
+    # model
+    num_heads: int = 12
+    dropout_p: float = 0.1
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    intermediate_size: int = 1024
+    position_embedding_type: str = "relative_key"
+    # optimization
+    lr: float = 5e-5
+    l2_norm: float = 0.1
+    gradient_clip: float = 1.0
+    lr_scheduler: str = "LinearWarmup"
+    min_epochs: int = 150
+    max_epochs: int = 350
+    batch_size: int = 64
+    # runtime
+    bf16: bool = True
+    seed: int = 0
+
+
+def structure_train_config(**overrides) -> ExperimentConfig:
+    """structure_model/train_model.py:18-39."""
+    cfg = ExperimentConfig(pocket_ext=4, max_seq_len=128, timesteps=1000,
+                           num_hidden_layers=12, min_epochs=150,
+                           max_epochs=350)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def structure_sample_config(**overrides) -> ExperimentConfig:
+    """structure_model/sample.py:20-41 (ext0 / max_len 64 test config)."""
+    cfg = ExperimentConfig(pocket_ext=0, max_seq_len=64, timesteps=1000,
+                           num_hidden_layers=12)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def sequence_train_config(**overrides) -> ExperimentConfig:
+    """sequence_model/train_model.py:17-39."""
+    cfg = ExperimentConfig(pocket_ext=4, max_seq_len=128, timesteps=50,
+                           num_hidden_layers=6, min_epochs=100,
+                           max_epochs=150)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def sequence_sample_config(**overrides) -> ExperimentConfig:
+    """sequence_model/sample.py:28-50."""
+    cfg = ExperimentConfig(pocket_ext=0, max_seq_len=64, timesteps=50,
+                           num_hidden_layers=6)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def add_config_flags(parser, defaults: ExperimentConfig):
+    for f in dataclasses.fields(ExperimentConfig):
+        val = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(val, bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s == "true",
+                                default=val)
+        else:
+            typ = type(val) if val is not None else int
+            parser.add_argument(f"--{f.name}", type=typ, default=val)
+    return parser
+
+
+def config_from_args(args) -> ExperimentConfig:
+    kw = {f.name: getattr(args, f.name)
+          for f in dataclasses.fields(ExperimentConfig)}
+    return ExperimentConfig(**kw)

@@ -1,0 +1,109 @@
+"""Sample backbone angles with the structure DDPM — CLI equivalent of
+structure_model/sample.py. Writes the trajectory pickle consumed by
+scripts/create_pdb.py and scripts/sample_by_generated_angles.py.
+
+Example:
+    python scripts/sample_structure.py --data_file data/biolip.pt \
+        --ckpt runs/structure/final --output data/output.pkl
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e3diff_tpu.utils.presets import (  # noqa: E402
+    add_config_flags,
+    config_from_args,
+    structure_sample_config,
+)
+
+
+def load_params(ckpt_path: str, model, sample_batch, rng):
+    """Restore params from an orbax checkpoint dir ('final' or train-state),
+    or convert a torch state_dict (.pt) via the porting utilities."""
+    import jax
+    import jax.numpy as jnp
+
+    if ckpt_path.endswith(".pt"):
+        import torch
+
+        from e3diff_tpu.utils.torch_port import port_structure_state_dict
+
+        sd = {k: v.numpy() for k, v in
+              torch.load(ckpt_path, map_location="cpu").items()}
+        return jax.tree.map(
+            jnp.asarray,
+            port_structure_state_dict(
+                sd, model.encoder_config.num_layers,
+                model.decoder_config.num_layers))
+
+    from e3diff_tpu.training.checkpoint import CheckpointManager
+
+    b = sample_batch["ligand_angles"].shape[0]
+    abstract = model.init(
+        rng, jnp.zeros((b,), jnp.int32),
+        jnp.asarray(sample_batch["ligand_angles"]),
+        jnp.asarray(sample_batch["ligand_attn_mask"]),
+        jnp.asarray(sample_batch["receptor_seq"]),
+        jnp.asarray(sample_batch["receptor_angles"]),
+        jnp.asarray(sample_batch["receptor_attn_mask"]))["params"]
+    mgr = CheckpointManager(os.path.dirname(ckpt_path) or ".")
+    restored = mgr.restore(os.path.basename(ckpt_path), {"params": abstract})
+    return restored["params"]
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--output", default="./data/output.pkl")
+    parser.add_argument("--step", type=int, default=1,
+                        help="stride through timesteps (reference STEP knob)")
+    parser.add_argument("--all_batches", action="store_true",
+                        help="disable the reference's first-batch-only "
+                             "quirk (Q5)")
+    parser.add_argument("--no_trajectory", action="store_true",
+                        help="keep only the final sample per peptide")
+    parser.add_argument("--synthetic", action="store_true")
+    add_config_flags(parser, structure_sample_config())
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+
+    import jax
+
+    from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
+    from e3diff_tpu.data.dataset import load_complexes
+    from e3diff_tpu.sampling import sample_structure_batches
+    from e3diff_tpu.utils.builders import (
+        build_structure_diffusion,
+        build_structure_model,
+    )
+
+    complexes = (synthetic_complexes(n=32) if args.synthetic
+                 else load_complexes(args.data_file))
+    test_ds = LigandBindingSiteData(complexes, "test", cfg.max_seq_len,
+                                    cfg.pocket_ext, cfg.ligand_max_len)
+    print(f"test={len(test_ds)} complexes")
+
+    model = build_structure_model(cfg)
+    diffusion = build_structure_diffusion(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample_batch = next(test_ds.batches(cfg.batch_size))
+    params = load_params(args.ckpt, model, sample_batch, rng)
+
+    results = sample_structure_batches(
+        params, model, diffusion, test_ds.batches(cfg.batch_size), rng,
+        step=args.step, first_batch_only=not args.all_batches,
+        return_trajectory=not args.no_trajectory)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    with open(args.output, "wb") as f:
+        pickle.dump(results, f)
+    print(f"wrote {len(results)} samples to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Train the sequence D3PM (inverse folding) — CLI equivalent of
+sequence_model/train_model.py.
+
+Example:
+    python scripts/train_sequence.py --data_file data/biolip.pt \
+        --ckpt_dir runs/sequence_ext4 --pocket_ext 4 --max_seq_len 128
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e3diff_tpu.utils.presets import (  # noqa: E402
+    add_config_flags,
+    config_from_args,
+    sequence_train_config,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--ckpt_dir", default="./runs/sequence")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--dp", type=int, default=None)
+    parser.add_argument("--tp", type=int, default=1)
+    add_config_flags(parser, sequence_train_config())
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+
+    import jax
+
+    from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
+    from e3diff_tpu.data.dataset import load_complexes
+    from e3diff_tpu.parallel import make_mesh, shard_batch, shard_params
+    from e3diff_tpu.training import SequenceTrainer, make_optimizer
+    from e3diff_tpu.training.loop import train_loop
+    from e3diff_tpu.utils.builders import (
+        build_sequence_diffusion,
+        build_sequence_model,
+    )
+
+    complexes = (synthetic_complexes(n=64) if args.synthetic
+                 else load_complexes(args.data_file))
+    train_ds = LigandBindingSiteData(complexes, "train", cfg.max_seq_len,
+                                     cfg.pocket_ext, cfg.ligand_max_len)
+    val_ds = LigandBindingSiteData(complexes, "validation", cfg.max_seq_len,
+                                   cfg.pocket_ext, cfg.ligand_max_len)
+    print(f"train={len(train_ds)} val={len(val_ds)} complexes")
+
+    model = build_sequence_model(cfg)
+    d3pm = build_sequence_diffusion(cfg, transition="blosum")
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample_batch = {k: v for k, v in next(
+        train_ds.batches(cfg.batch_size)).items()
+        if k not in ("num_valid", "structure_ids")}
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+
+    tmp = SequenceTrainer(model, d3pm, make_optimizer(
+        None, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
+        max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
+        grad_clip=cfg.gradient_clip))
+    params = tmp.create_state(rng, sample_batch).params
+    trainer = SequenceTrainer(model, d3pm, make_optimizer(
+        params, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
+        max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
+        grad_clip=cfg.gradient_clip))
+    state = trainer.create_state(rng, sample_batch)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"Model has {n_params} trainable parameters")
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        state = state.replace(params=shard_params(state.params, mesh))
+        print(f"mesh: {dict(mesh.shape)}")
+
+    def train_batches(epoch):
+        for b in train_ds.batches(cfg.batch_size, shuffle=True,
+                                  seed=cfg.seed + epoch, drop_last=True):
+            yield shard_batch(b, mesh) if mesh else b
+
+    def val_batches():
+        yield from val_ds.batches(cfg.batch_size)
+
+    state, history = train_loop(
+        trainer, state, train_batches, val_batches, rng,
+        max_epochs=cfg.max_epochs, min_epochs=cfg.min_epochs,
+        ckpt_dir=args.ckpt_dir)
+    print(f"done; final val_loss="
+          f"{history[-1].get('val_loss', float('nan')):.4f}")
+
+
+if __name__ == "__main__":
+    main()
