@@ -32,7 +32,10 @@ def main():
     from e3diff_tpu.sampling.structure import make_structure_sampler
 
     smoke = os.environ.get("E3DIFF_BENCH_SMOKE", "") == "1"
-    b, l, t_steps = (8, 16, 20) if smoke else (64, 64, 1000)
+    # receptor padded to 64 (reference test config); ligand bucketed to 16
+    # (the BASELINE target is a <=16-residue peptide; bucketed padding is
+    # the TPU-shape answer to variable lengths)
+    b, l, l_lig, t_steps = (8, 16, 8, 20) if smoke else (64, 64, 16, 1000)
 
     if smoke:
         enc_cfg = TransformerConfig(
@@ -49,11 +52,9 @@ def main():
     diffusion = GaussianAngleDiffusion.cosine(t_steps)
 
     rng = np.random.default_rng(0)
-    lig_len = 16
     batch = {
-        "ligand_angles": np.zeros((b, l, 8), np.float32),
-        "ligand_attn_mask": np.tile(
-            (np.arange(l) < lig_len).astype(np.float32), (b, 1)),
+        "ligand_angles": np.zeros((b, l_lig, 8), np.float32),
+        "ligand_attn_mask": np.ones((b, l_lig), np.float32),
         "receptor_seq": np.eye(20, dtype=np.float32)[
             rng.integers(0, 20, (b, l))],
         "receptor_angles": rng.uniform(
@@ -71,23 +72,25 @@ def main():
     sampler = make_structure_sampler(model, diffusion, step=1,
                                      return_trajectory=False)
 
-    # compile
-    final, _ = sampler(params, jbatch, jax.random.PRNGKey(1))
-    final.block_until_ready()
+    def run_synced(key):
+        """Force a true host sync — block_until_ready can return early
+        through the remote-TPU tunnel; a scalar host transfer cannot."""
+        final, _ = sampler(params, jbatch, key)
+        return float(jnp.sum(final))
 
-    # timed runs
+    run_synced(jax.random.PRNGKey(1))  # compile
+
     times = []
     for i in range(2 if not smoke else 1):
         start = time.perf_counter()
-        final, _ = sampler(params, jbatch, jax.random.PRNGKey(2 + i))
-        final.block_until_ready()
+        run_synced(jax.random.PRNGKey(2 + i))
         times.append(time.perf_counter() - start)
     elapsed = min(times)
 
     rate = b / elapsed
     target_rate = 64 / 2.0  # BASELINE.json: batch of 64 in < 2 s
     print(json.dumps({
-        "metric": "structure_ddpm_peptides_per_sec_T1000_b64_len64_146M",
+        "metric": "structure_ddpm_peptides_per_sec_T1000_b64_lig16_rec64_146M",
         "value": round(rate, 3),
         "unit": "peptides/s/chip",
         "vs_baseline": round(rate / target_rate, 3),
