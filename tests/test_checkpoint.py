@@ -1,0 +1,93 @@
+"""Checkpoint save/restore, best-tracking (Q4), and train-loop resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
+from e3diff_tpu.diffusion import GaussianAngleDiffusion
+from e3diff_tpu.models import StructureDenoiser, TransformerConfig
+from e3diff_tpu.training import StructureTrainer, make_optimizer
+from e3diff_tpu.training.checkpoint import BestTracker, CheckpointManager
+from e3diff_tpu.training.loop import train_loop
+
+MAXLEN = 16
+
+
+def _cfg(cross):
+    return TransformerConfig(
+        hidden_size=32, num_heads=4, num_layers=1, intermediate_size=64,
+        max_position_embeddings=MAXLEN, dropout=0.0, attention_dropout=0.0,
+        add_cross_attention=cross)
+
+
+def _setup():
+    ds = LigandBindingSiteData(
+        synthetic_complexes(n=8, seed=5, receptor_len_range=(8, 12),
+                            ligand_len_range=(5, 8)),
+        None, max_len=MAXLEN, pocket_ext=1)
+    batch = {k: v for k, v in next(ds.batches(8)).items()
+             if k not in ("num_valid", "structure_ids")}
+    model = StructureDenoiser(_cfg(False), _cfg(True))
+    diff = GaussianAngleDiffusion.cosine(20)
+    trainer = StructureTrainer(
+        model, diff, make_optimizer(None, base_lr=1e-3,
+                                    max_epochs=4, steps_per_epoch=1))
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    return ds, batch, trainer, state
+
+
+def test_save_restore_roundtrip(tmp_path):
+    _, batch, trainer, state = _setup()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state2, _ = trainer.train_step(
+        state, {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(1))
+    mgr.save("last", {"state": state2, "epoch": 3})
+    assert mgr.exists("last")
+
+    _, _, trainer3, fresh = _setup()
+    restored = mgr.restore("last", {"state": fresh, "epoch": 0})
+    assert int(restored["epoch"]) == 3
+    for a, b in zip(jax.tree.leaves(restored["state"].params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored["state"].step) == int(state2.step)
+    mgr.close()
+
+
+def test_best_tracker_q4_mode_max(tmp_path):
+    """mode='max' keeps the HIGHEST val_loss (reference quirk Q4)."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    bt = BestTracker(mgr, mode="max")
+    assert bt.update({"val_loss": 1.0}, {"x": jnp.zeros(2)})
+    assert not bt.update({"val_loss": 0.5}, {"x": jnp.ones(2)})
+    assert bt.update({"val_loss": 2.0}, {"x": jnp.full((2,), 2.0)})
+    restored = mgr.restore("best_val_model", {"x": jnp.zeros(2)})
+    np.testing.assert_array_equal(np.asarray(restored["x"]), 2.0)
+    mgr.close()
+
+
+def test_train_loop_resume(tmp_path):
+    ds, batch, trainer, state = _setup()
+    ckpt_dir = str(tmp_path / "run")
+
+    def train_batches(epoch):
+        yield batch
+
+    def val_batches():
+        yield batch
+
+    rng = jax.random.PRNGKey(7)
+    state1, hist1 = train_loop(trainer, state, train_batches, val_batches,
+                               rng, max_epochs=2, ckpt_dir=ckpt_dir,
+                               log_fn=lambda *_: None)
+    assert len(hist1) == 2
+
+    # fresh state, resume: should skip to epoch 2 and run epochs 2..3
+    _, _, trainer2, fresh = _setup()
+    state2, hist2 = train_loop(trainer2, fresh, train_batches, val_batches,
+                               rng, max_epochs=4, ckpt_dir=ckpt_dir,
+                               log_fn=lambda *_: None)
+    assert [h["epoch"] for h in hist2] == [2, 3]
+    assert int(state2.step) == 4
