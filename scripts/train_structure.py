@@ -100,6 +100,9 @@ def main():
         trainer, state, train_batches, val_batches, rng,
         max_epochs=cfg.max_epochs, min_epochs=cfg.min_epochs,
         ckpt_dir=args.ckpt_dir)
+    import json
+    with open(os.path.join(args.ckpt_dir, "history.json"), "w") as f:
+        json.dump(history, f, indent=1)
     print(f"done; final val_loss="
           f"{history[-1].get('val_loss', float('nan')):.4f}")
 
