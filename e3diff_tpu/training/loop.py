@@ -103,7 +103,9 @@ def train_loop(
 
         if manager is not None:
             if val_means and best is not None:
-                best.update(val_means, {"state": state, "epoch": epoch})
+                # best slot holds params only — it's an inference artifact
+                # loadable by every sample CLI (like 'final')
+                best.update(val_means, {"params": state.params})
             manager.save("last", {"state": state, "epoch": epoch})
 
     if manager is not None:

@@ -108,3 +108,19 @@ def test_sharded_params_layouts():
     # each tp shard holds 1/4 of the output features
     shard_shapes = {s.data.shape for s in qk.addressable_shards}
     assert shard_shapes == {(64, 16)}
+
+
+def test_multihost_single_process_path():
+    from e3diff_tpu.parallel.multihost import distribute_batch, host_local_slice
+
+    mesh = make_mesh(dp=8, tp=1)
+    batch = _batch(8)
+    out = distribute_batch(batch, mesh)
+    assert set(out) == set(batch)
+    for k, v in out.items():
+        assert v.shape == batch[k].shape
+        np.testing.assert_allclose(np.asarray(v), batch[k])
+    sl = host_local_slice(64, process_index=0, process_count=1)
+    assert sl == slice(0, 64)
+    sl = host_local_slice(64, process_index=2, process_count=4)
+    assert sl == slice(32, 48)
