@@ -93,6 +93,24 @@ def pocket_extend_mask(pocket_mask: np.ndarray, ext: int) -> np.ndarray:
     return pocket_mask | left | right
 
 
+def suggest_buckets(complexes: list[dict], pocket_ext: int,
+                    multiple: int = 8) -> tuple[int, int]:
+    """TPU-shape helper: smallest (ligand_max_len, receptor_max_len)
+    buckets covering a complex list, rounded up to a lane-friendly
+    multiple. Peptide ligands are short (>=5, usually <=16) while extended
+    pockets need 64/128 — separate buckets cut decoder tokens ~4x."""
+    lig_max = poc_max = 1
+    for d in complexes:
+        lig_max = max(lig_max, int(np.asarray(d["ligand_mask"]).sum()))
+        poc = pocket_extend_mask(np.asarray(d["pocket_mask"]), pocket_ext)
+        poc_max = max(poc_max, int(poc.sum()))
+
+    def round_up(x):
+        return ((x + multiple - 1) // multiple) * multiple
+
+    return round_up(lig_max), round_up(poc_max)
+
+
 def _pad_to(x: np.ndarray, max_len: int) -> np.ndarray:
     if x.shape[0] > max_len:
         raise RuntimeError(

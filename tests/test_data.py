@@ -107,3 +107,36 @@ def test_batches_pad_final():
     # padded rows have zero attention masks
     np.testing.assert_array_equal(
         batches[1]["ligand_attn_mask"][3:], 0.0)
+
+
+def test_suggest_buckets():
+    from e3diff_tpu.data.dataset import suggest_buckets
+
+    data = synthetic_complexes(n=10, seed=9, receptor_len_range=(20, 40),
+                               ligand_len_range=(5, 14))
+    lig_b, rec_b = suggest_buckets(data, pocket_ext=1)
+    assert lig_b % 8 == 0 and rec_b % 8 == 0
+    # buckets must actually fit every example
+    ds = LigandBindingSiteData(data, None, max_len=rec_b, pocket_ext=1,
+                               ligand_max_len=lig_b)
+    assert len(ds) == 10
+    assert ds.arrays["ligand_angles"].shape[1] == lig_b
+    assert ds.arrays["receptor_angles"].shape[1] == rec_b
+
+
+def test_bucketed_ligand_padding_matches_reference_values():
+    """Bucketed ligand arrays equal the reference full-pad arrays on the
+    valid prefix (exactness of the bucketing optimization)."""
+    data = synthetic_complexes(n=6, seed=10, receptor_len_range=(15, 25),
+                               ligand_len_range=(5, 12))
+    full = LigandBindingSiteData(data, None, max_len=64, pocket_ext=1)
+    bucketed = LigandBindingSiteData(data, None, max_len=64, pocket_ext=1,
+                                     ligand_max_len=16)
+    for i in range(len(full)):
+        n = full[i]["ligand_length"]
+        np.testing.assert_array_equal(
+            bucketed[i]["ligand_angles"][:n], full[i]["ligand_angles"][:n])
+        np.testing.assert_array_equal(
+            bucketed[i]["ligand_attn_mask"][:n],
+            full[i]["ligand_attn_mask"][:n])
+        assert bucketed[i]["ligand_attn_mask"][n:].sum() == 0
