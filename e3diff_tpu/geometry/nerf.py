@@ -19,7 +19,6 @@ coords = the first three atoms (N, CA, C) of 1CRN.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ kernel (a fused Pallas attention is available behind
 from __future__ import annotations
 
 import math
-from typing import Optional
+
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ exposed as ``first_batch_only`` (default True = reference-faithful).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Iterable
 
 import jax
