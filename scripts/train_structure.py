@@ -58,27 +58,21 @@ def main():
     sample_batch = next(train_ds.batches(cfg.batch_size))
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
 
-    trainer = StructureTrainer(model, diffusion, None)
-    state = None
+    clean_batch = {k: v for k, v in sample_batch.items()
+                   if k not in ("num_valid", "structure_ids")}
 
-    def init_state():
-        nonlocal trainer
-        tmp = StructureTrainer(model, diffusion, make_optimizer(
-            None, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
+    def make_opt(params_example):
+        return make_optimizer(
+            params_example, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
             max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
-            grad_clip=cfg.gradient_clip))
-        params = tmp.create_state(rng, {
-            k: v for k, v in sample_batch.items()
-            if k not in ("num_valid", "structure_ids")}).params
-        trainer = StructureTrainer(model, diffusion, make_optimizer(
-            params, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
-            max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
-            grad_clip=cfg.gradient_clip))
-        return trainer.create_state(rng, {
-            k: v for k, v in sample_batch.items()
-            if k not in ("num_valid", "structure_ids")})
+            grad_clip=cfg.gradient_clip)
 
-    state = init_state()
+    # the optimizer's decay mask needs a params example: init once with a
+    # placeholder optimizer, then rebuild with the real mask
+    params = StructureTrainer(model, diffusion, make_opt(None)).create_state(
+        rng, clean_batch).params
+    trainer = StructureTrainer(model, diffusion, make_opt(params))
+    state = trainer.create_state(rng, clean_batch)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Model has {n_params} trainable parameters")
 

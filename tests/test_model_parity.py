@@ -181,3 +181,38 @@ def test_structure_param_count_matches_reference_scale():
             jnp.zeros((1, 128, 8)), jnp.ones((1, 128))))
     n = sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
     assert abs(n - 146.4e6) / 146.4e6 < 0.02, f"got {n/1e6:.1f}M params"
+
+
+def test_bf16_matches_f32_within_mixed_precision_tolerance():
+    """The bf16 compute path (used for TPU speed; analog of the reference's
+    TF32 'medium' matmuls) must track the f32 path closely."""
+    import dataclasses
+
+    import jax
+
+    cfg_f32_enc, cfg_f32_dec = _tcfg(False), _tcfg(True)
+    net32 = StructureDenoiser(cfg_f32_enc, cfg_f32_dec)
+    net16 = StructureDenoiser(
+        dataclasses.replace(cfg_f32_enc, dtype=jnp.bfloat16),
+        dataclasses.replace(cfg_f32_dec, dtype=jnp.bfloat16))
+
+    rng = np.random.default_rng(21)
+    lig = rng.uniform(-3, 3, (B, L, 8)).astype(np.float32)
+    rec_seq = np.eye(20, dtype=np.float32)[rng.integers(0, 20, (B, L))]
+    rec_ang = rng.uniform(-3, 3, (B, L, 8)).astype(np.float32)
+    masks = _prefix_mask([8, 16]), _prefix_mask([16, 11])
+    t = np.zeros((B,), np.int32)
+
+    params = net32.init(jax.random.PRNGKey(5), jnp.asarray(t),
+                        jnp.asarray(lig), jnp.asarray(masks[0]),
+                        jnp.asarray(rec_seq), jnp.asarray(rec_ang),
+                        jnp.asarray(masks[1]))["params"]
+    out32 = net32.apply({"params": params}, jnp.asarray(t), jnp.asarray(lig),
+                        jnp.asarray(masks[0]), jnp.asarray(rec_seq),
+                        jnp.asarray(rec_ang), jnp.asarray(masks[1]))
+    out16 = net16.apply({"params": params}, jnp.asarray(t), jnp.asarray(lig),
+                        jnp.asarray(masks[0]), jnp.asarray(rec_seq),
+                        jnp.asarray(rec_ang), jnp.asarray(masks[1]))
+    diff = np.abs(np.asarray(out32) - np.asarray(out16, np.float32))
+    scale = np.abs(np.asarray(out32)).mean() + 1e-6
+    assert diff.mean() / scale < 0.05, (diff.mean(), scale)
