@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--data_file", required=True)
     parser.add_argument("--ckpt_dir", default="./runs/sequence")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_n", type=int, default=64)
     parser.add_argument("--dp", type=int, default=None)
     parser.add_argument("--tp", type=int, default=1)
     add_config_flags(parser, sequence_train_config())
@@ -42,7 +43,7 @@ def main():
         build_sequence_model,
     )
 
-    complexes = (synthetic_complexes(n=64) if args.synthetic
+    complexes = (synthetic_complexes(n=args.synthetic_n) if args.synthetic
                  else load_complexes(args.data_file))
     train_ds = LigandBindingSiteData(complexes, "train", cfg.max_seq_len,
                                      cfg.pocket_ext, cfg.ligand_max_len)

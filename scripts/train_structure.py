@@ -25,6 +25,7 @@ def main():
     parser.add_argument("--ckpt_dir", default="./runs/structure")
     parser.add_argument("--synthetic", action="store_true",
                         help="use a synthetic dataset (no BioLiP needed)")
+    parser.add_argument("--synthetic_n", type=int, default=64)
     parser.add_argument("--dp", type=int, default=None,
                         help="data-parallel extent (default: all devices)")
     parser.add_argument("--tp", type=int, default=1)
@@ -44,7 +45,7 @@ def main():
         build_structure_model,
     )
 
-    complexes = (synthetic_complexes(n=64) if args.synthetic
+    complexes = (synthetic_complexes(n=args.synthetic_n) if args.synthetic
                  else load_complexes(args.data_file))
     train_ds = LigandBindingSiteData(complexes, "train", cfg.max_seq_len,
                                      cfg.pocket_ext, cfg.ligand_max_len)
