@@ -65,21 +65,28 @@ def train_loop(
         if profile_dir is not None and epoch == start_epoch + 1:
             jax.profiler.start_trace(profile_dir)
 
-        epoch_metrics, step_times = [], []
+        epoch_metrics = []
         t_epoch = time.perf_counter()
+        t_first_done = None
         for i, batch in enumerate(train_batches(epoch)):
             rng, step_rng = jax.random.split(rng)
-            t0 = time.perf_counter()
             state, metrics = trainer.train_step(state, _clean(batch), step_rng)
             if i == 0:
-                jax.block_until_ready(metrics)  # surface compile time once
-            step_times.append(time.perf_counter() - t0)
+                # surface compile time once (float() is a true host sync;
+                # block_until_ready is unreliable through remote tunnels)
+                float(metrics["train_loss"])
+                t_first_done = time.perf_counter()
             epoch_metrics.append(metrics)
             if log_every and i % log_every == 0:
                 log_fn(f"epoch {epoch} step {i}: "
                        f"loss={float(metrics['train_loss']):.4f}")
 
+        # _mean_metrics pulls every metric to host => syncs all steps
         train_means = _mean_metrics(epoch_metrics)
+        t_train_done = time.perf_counter()
+        n_steps = len(epoch_metrics)
+        steps_per_sec = ((n_steps - 1) / max(t_train_done - t_first_done, 1e-9)
+                         if n_steps > 1 and t_first_done else 0.0)
         log_fn(f"Training Loss:{train_means.get('train_loss', float('nan'))}")
 
         val_means = {}
@@ -96,8 +103,7 @@ def train_loop(
             jax.profiler.stop_trace()
 
         record = {"epoch": epoch, **train_means, **val_means,
-                  "steps_per_sec": (len(step_times) - 1) / max(sum(step_times[1:]), 1e-9)
-                  if len(step_times) > 1 else 0.0,
+                  "steps_per_sec": steps_per_sec,
                   "epoch_seconds": time.perf_counter() - t_epoch}
         history.append(record)
 
