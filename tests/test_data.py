@@ -140,3 +140,18 @@ def test_bucketed_ligand_padding_matches_reference_values():
             bucketed[i]["ligand_attn_mask"][:n],
             full[i]["ligand_attn_mask"][:n])
         assert bucketed[i]["ligand_attn_mask"][n:].sum() == 0
+
+
+def test_split_shuffle_identity_frozen():
+    """Golden shuffle order: the split identity is Python's
+    random.seed(0)+shuffle over the stored order (SURVEY hard part #3).
+    Freezing a small case catches silent RNG-behavior changes."""
+    import random
+
+    data = list(range(10))
+    random.seed(0)
+    random.shuffle(data)
+    assert data == [7, 8, 1, 5, 3, 4, 2, 0, 9, 6]
+    assert split_complexes(list(range(10)), "train") == [7, 8, 1, 5, 3, 4, 2, 0]
+    assert split_complexes(list(range(10)), "validation") == [9]
+    assert split_complexes(list(range(10)), "test") == [6]
