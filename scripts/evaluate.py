@@ -1,0 +1,76 @@
+"""Evaluate sampled outputs against the dataset's ground truth.
+
+Inputs: the pickle from scripts/sample_structure.py (angles) and/or
+scripts/sample_sequence.py (sequences). Prints recovery-rate statistics,
+per-feature wrapped-angle error, and distribution TV distances.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e3diff_tpu.utils.presets import (  # noqa: E402
+    add_config_flags,
+    config_from_args,
+    structure_sample_config,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--angles", help="sampled angles pickle")
+    parser.add_argument("--sequences", help="sequence results pickle")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic_n", type=int, default=32)
+    add_config_flags(parser, structure_sample_config())
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+
+    from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
+    from e3diff_tpu.data.dataset import load_complexes
+    from e3diff_tpu.utils.evaluation import (
+        mean_wrapped_angle_error,
+        summarize_samples,
+    )
+
+    complexes = (synthetic_complexes(n=args.synthetic_n) if args.synthetic
+                 else load_complexes(args.data_file))
+    test_ds = LigandBindingSiteData(complexes, "test", cfg.max_seq_len,
+                                    cfg.pocket_ext, cfg.ligand_max_len)
+
+    truth = [test_ds[i]["ligand_angles"][:test_ds[i]["ligand_length"]]
+             for i in range(len(test_ds))]
+
+    if args.angles:
+        with open(args.angles, "rb") as f:
+            sampled = pickle.load(f)
+        sampled = [np.asarray(s)[-1] if np.asarray(s).ndim == 3
+                   else np.asarray(s) for s in sampled]
+        summary = summarize_samples(sampled, truth[:len(sampled)])
+        print("angle distribution TV distance per feature:")
+        for k, v in summary["tv_distance"].items():
+            print(f"  {k:10s} {v:.4f}")
+        print(f"mean TV distance: {summary['tv_distance_mean']:.4f}")
+        paired = [(s, t) for s, t in zip(sampled, truth) if len(s) == len(t)]
+        if paired:
+            errs = np.stack([mean_wrapped_angle_error(t, s)
+                             for s, t in paired])
+            print("mean wrapped-angle error (fraction of turn) per feature:")
+            print("  " + " ".join(f"{e:.4f}" for e in errs.mean(0)))
+
+    if args.sequences:
+        with open(args.sequences, "rb") as f:
+            res = pickle.load(f)
+        rates = np.asarray(res["recovery_rate"])
+        print(f"sequences: n={len(rates)} recovery mean={rates.mean():.4f} "
+              f"median={np.median(rates):.4f} max={rates.max():.4f}")
+
+
+if __name__ == "__main__":
+    main()

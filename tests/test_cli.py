@@ -1,0 +1,125 @@
+"""CLI regression tests: run every entry script end-to-end on tiny
+synthetic configs (CPU). Mirrors a user driving the framework."""
+
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+TINY = ["--batch_size", "8", "--max_seq_len", "48", "--ligand_max_len", "16",
+        "--hidden_size", "32", "--num_heads", "4", "--num_hidden_layers", "2",
+        "--intermediate_size", "64", "--bf16", "false", "--pocket_ext", "1"]
+
+
+def _run(module_name, argv, monkeypatch):
+    import importlib
+
+    monkeypatch.setattr(sys, "argv", argv)
+    mod = importlib.import_module(module_name)
+    mod.main()
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train tiny structure+sequence models once for the sampling CLIs."""
+    import importlib
+
+    base = tmp_path_factory.mktemp("cli")
+    s_dir, q_dir = str(base / "s"), str(base / "q")
+    for mod_name, ckpt, extra in [
+        ("scripts.train_structure", s_dir, ["--timesteps", "20"]),
+        ("scripts.train_sequence", q_dir, ["--timesteps", "10"]),
+    ]:
+        argv = [mod_name, "--data_file", "x", "--synthetic",
+                "--synthetic_n", "24", "--ckpt_dir", ckpt,
+                "--max_epochs", "1", "--min_epochs", "1"] + TINY + extra
+        old = sys.argv
+        sys.argv = argv
+        try:
+            importlib.import_module(mod_name).main()
+        finally:
+            sys.argv = old
+    return base, s_dir, q_dir
+
+
+def test_sample_structure_cli(trained, monkeypatch):
+    base, s_dir, _ = trained
+    out = str(base / "angles.pkl")
+    _run("scripts.sample_structure",
+         ["x", "--data_file", "x", "--synthetic", "--ckpt", f"{s_dir}/final",
+          "--output", out, "--timesteps", "20", "--all_batches",
+          "--no_trajectory"] + TINY, monkeypatch)
+    with open(out, "rb") as f:
+        sampled = pickle.load(f)
+    assert len(sampled) >= 1
+    assert sampled[0].ndim == 2 and sampled[0].shape[1] == 8
+
+
+def test_create_pdb_and_evaluate_cli(trained, monkeypatch, capsys):
+    base, s_dir, _ = trained
+    angles = str(base / "angles.pkl")
+    _run("scripts.create_pdb",
+         ["x", "--input", angles, "--outdir", str(base / "pdbs")],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "PDBs" in out
+
+    _run("scripts.evaluate",
+         ["x", "--data_file", "x", "--synthetic", "--synthetic_n", "32",
+          "--angles", angles] + TINY, monkeypatch)
+    out = capsys.readouterr().out
+    assert "TV distance" in out
+
+
+def test_sample_sequence_cli(trained, monkeypatch, capsys):
+    base, _, q_dir = trained
+    out_path = str(base / "seqs.pkl")
+    _run("scripts.sample_sequence",
+         ["x", "--data_file", "x", "--synthetic", "--ckpt", f"{q_dir}/final",
+          "--output", out_path, "--timesteps", "10"] + TINY, monkeypatch)
+    with open(out_path, "rb") as f:
+        res = pickle.load(f)
+    assert len(res["recovery_rate"]) >= 1
+    assert all(0 <= r <= 1 for r in res["recovery_rate"])
+
+    _run("scripts.evaluate",
+         ["x", "--data_file", "x", "--synthetic", "--synthetic_n", "32",
+          "--sequences", out_path] + TINY, monkeypatch)
+    assert "recovery mean" in capsys.readouterr().out
+
+
+def test_sample_by_generated_angles_cli(trained, monkeypatch, capsys):
+    base, _, q_dir = trained
+    _run("scripts.sample_by_generated_angles",
+         ["x", "--data_file", "x", "--synthetic", "--ckpt", f"{q_dir}/final",
+          "--generated", str(base / "angles.pkl"),
+          "--output", str(base / "gen_seqs.pkl"),
+          "--timesteps", "10"] + TINY, monkeypatch)
+    assert "recovery rate" in capsys.readouterr().out
+
+
+def test_convert_data_cli(tmp_path, monkeypatch):
+    import torch
+
+    from e3diff_tpu.data import load_complexes, synthetic_complexes
+
+    data = synthetic_complexes(n=4, seed=2)
+    torch_data = []
+    for d in data:
+        td = dict(d)
+        for k in ["coors", "numerical_features", "angle_features",
+                  "edge_index", "ligand_idx", "pocket_idx",
+                  "ligand_mask", "pocket_mask"]:
+            td[k] = torch.tensor(np.asarray(d[k]))
+        torch_data.append(td)
+    src = str(tmp_path / "d.pt")
+    dst = str(tmp_path / "d.pkl")
+    torch.save(torch_data, src)
+
+    _run("scripts.convert_data", ["x", "--input", src, "--output", dst],
+         monkeypatch)
+    out = load_complexes(dst)
+    assert len(out) == 4
+    np.testing.assert_allclose(out[0]["angle_features"],
+                               data[0]["angle_features"], atol=1e-6)
