@@ -216,3 +216,23 @@ def test_bf16_matches_f32_within_mixed_precision_tolerance():
     diff = np.abs(np.asarray(out32) - np.asarray(out16, np.float32))
     scale = np.abs(np.asarray(out32)).mean() + 1e-6
     assert diff.mean() / scale < 0.05, (diff.mean(), scale)
+
+
+def test_sequence_param_count_matches_live_reference_scale():
+    """Full-size sequence config: ~61M live params (reference prints 72.3M
+    including the ~11.2M dead receptor_feature_emb we don't materialize,
+    quirk Q7)."""
+    import jax
+    from e3diff_tpu.models import sequence_model_configs
+
+    enc, dec = sequence_model_configs(max_seq_len=128)
+    net = SequenceDenoiser(enc, dec)
+    shapes = jax.eval_shape(
+        lambda: net.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1)), jnp.zeros((1, 128, 20)),
+            jnp.zeros((1, 128, 8)), jnp.ones((1, 128)),
+            jnp.zeros((1, 128, 20)), jnp.zeros((1, 128, 8)),
+            jnp.ones((1, 128))))
+    n = sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
+    assert abs(n - 61.0e6) / 61.0e6 < 0.02, f"got {n/1e6:.1f}M params"
