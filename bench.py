@@ -83,7 +83,7 @@ def main():
     run_synced(jax.random.PRNGKey(1))  # compile
 
     times = []
-    for i in range(2 if not smoke else 1):
+    for i in range(4 if not smoke else 1):
         start = time.perf_counter()
         run_synced(jax.random.PRNGKey(2 + i))
         times.append(time.perf_counter() - start)

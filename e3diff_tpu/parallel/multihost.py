@@ -28,11 +28,50 @@ from e3diff_tpu.parallel.mesh import batch_sharding
 
 def host_local_slice(n_examples: int, process_index: int | None = None,
                      process_count: int | None = None) -> slice:
-    """The contiguous row range this host should load."""
+    """The contiguous row range this host should load.
+
+    Covers ALL rows — no silent remainder drop: with r = n % pc, the
+    first r hosts take per+1 rows, the rest per. When r != 0 the local
+    sizes differ by one; pad every host to `host_batch_rows(n)` with
+    `pad_local_batch` before `distribute_batch` (the JAX multihost
+    contract needs identical local shapes on every process)."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    per = n_examples // pc
-    return slice(pi * per, (pi + 1) * per)
+    per, rem = divmod(n_examples, pc)
+    start = pi * per + min(pi, rem)
+    return slice(start, start + per + (1 if pi < rem else 0))
+
+
+def host_batch_rows(n_examples: int, process_count: int | None = None) -> int:
+    """Per-host row count after padding: ceil(n / process_count)."""
+    pc = jax.process_count() if process_count is None else process_count
+    return -(-n_examples // pc)
+
+
+def pad_local_batch(local_batch: dict, target_rows: int) -> dict:
+    """Zero-pad every array in a host-local batch to `target_rows` rows.
+
+    Padded rows have all-zero attention masks, so they contribute nothing
+    to the masked losses/metrics; the true row count is recorded in
+    `num_valid`. Raises if the batch already exceeds `target_rows`."""
+    out = {}
+    rows = None
+    for k, v in local_batch.items():
+        if k == "num_valid":
+            continue
+        if k == "structure_ids":
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        if rows is None:
+            rows = v.shape[0]
+        if v.shape[0] > target_rows:
+            raise ValueError(
+                f"batch has {v.shape[0]} rows > target {target_rows}")
+        pad = ((0, target_rows - v.shape[0]),) + ((0, 0),) * (v.ndim - 1)
+        out[k] = np.pad(v, pad)
+    out["num_valid"] = min(int(local_batch.get("num_valid", rows)), rows)
+    return out
 
 
 def distribute_batch(local_batch: dict, mesh) -> dict:

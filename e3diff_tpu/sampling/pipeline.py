@@ -26,6 +26,7 @@ def _pad_generated(angles_list, max_len, batches):
     """Pad per-sample (len_i, 8) angle arrays to max_len and chunk them to
     align with the given batches (incl. the zero-padded final batch)
     (sample_by_generated_angles.py:54-66)."""
+    n_feat = angles_list[0].shape[1] if angles_list else 8
     padded = [np.pad(a, ((0, max_len - a.shape[0]), (0, 0)))
               for a in angles_list]
     chunks, pos = [], 0
@@ -33,8 +34,7 @@ def _pad_generated(angles_list, max_len, batches):
         rows = batch["ligand_angles"].shape[0]
         valid = int(batch.get("num_valid", rows))
         chunk = padded[pos:pos + valid]
-        chunk += [np.zeros((max_len, chunk[0].shape[1]), chunk[0].dtype)
-                  ] * (rows - valid)
+        chunk += [np.zeros((max_len, n_feat), np.float32)] * (rows - valid)
         chunks.append(np.stack(chunk).astype(np.float32))
         pos += valid
     return chunks

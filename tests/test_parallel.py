@@ -126,6 +126,64 @@ def test_multihost_single_process_path():
     assert sl == slice(32, 48)
 
 
+def test_host_local_slice_uneven_covers_all_rows():
+    """n % process_count != 0 must not silently drop rows: the slices
+    tile [0, n) exactly, with sizes differing by at most one."""
+    for n, pc in [(67, 4), (5, 8), (64, 4), (63, 16), (1, 2)]:
+        slices = [host_local_slice_for(n, i, pc) for i in range(pc)]
+        covered = []
+        for sl in slices:
+            covered.extend(range(n)[sl])
+        assert covered == list(range(n)), (n, pc, slices)
+        sizes = [len(range(n)[sl]) for sl in slices]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def host_local_slice_for(n, pi, pc):
+    from e3diff_tpu.parallel.multihost import host_local_slice
+    return host_local_slice(n, process_index=pi, process_count=pc)
+
+
+def test_pad_local_batch_multiprocess_shapes():
+    """Mocked 4-process split of 67 rows: after pad_local_batch every host
+    has identical shapes (the make_array_from_process_local_data contract)
+    and padded rows carry all-zero attention masks."""
+    from e3diff_tpu.parallel.multihost import (
+        host_batch_rows, host_local_slice, pad_local_batch)
+
+    n, pc = 67, 4
+    ds = LigandBindingSiteData(
+        synthetic_complexes(n=n, seed=5, receptor_len_range=(8, 12),
+                            ligand_len_range=(5, 8)),
+        None, max_len=MAXLEN, pocket_ext=1)
+    full = next(ds.batches(n))
+    full = {k: v for k, v in full.items()
+            if k not in ("num_valid", "structure_ids")}
+
+    target = host_batch_rows(n, process_count=pc)
+    assert target == 17
+    shapes_by_host = []
+    recovered = {k: [] for k in full}
+    for pi in range(pc):
+        sl = host_local_slice(n, process_index=pi, process_count=pc)
+        local = {k: np.asarray(v)[sl] for k, v in full.items()}
+        padded = pad_local_batch(local, target)
+        nv = padded.pop("num_valid")
+        assert nv == len(range(n)[sl])
+        shapes_by_host.append({k: v.shape for k, v in padded.items()})
+        # padded rows must be inert under masked losses
+        np.testing.assert_array_equal(
+            padded["ligand_attn_mask"][nv:], 0.0)
+        np.testing.assert_array_equal(
+            padded["receptor_attn_mask"][nv:], 0.0)
+        for k in full:
+            recovered[k].append(padded[k][:nv])
+    assert all(s == shapes_by_host[0] for s in shapes_by_host)
+    for k in full:  # concatenated valid rows == the original global batch
+        np.testing.assert_array_equal(
+            np.concatenate(recovered[k]), np.asarray(full[k]))
+
+
 def test_mesh_sharded_sampling_matches_single_device():
     """Batched sampling sweep over the mesh: sharding the batch over dp
     must reproduce single-device samples bit-for-bit (same keys)."""

@@ -108,6 +108,22 @@ def test_sequence_sampling_outputs():
     assert res["structure_ids"][0].startswith("syn")
 
 
+def test_pad_generated_zero_valid_batch():
+    """A batch with zero valid rows must not index into an empty chunk."""
+    from e3diff_tpu.sampling.pipeline import _pad_generated
+
+    batches = [
+        {"ligand_angles": np.zeros((2, 16, 8)), "num_valid": 2},
+        {"ligand_angles": np.zeros((2, 16, 8)), "num_valid": 0},
+    ]
+    angles = [np.full((5, 8), 1.0), np.full((7, 8), 2.0)]
+    chunks = _pad_generated(angles, 16, batches)
+    assert [c.shape for c in chunks] == [(2, 16, 8), (2, 16, 8)]
+    np.testing.assert_array_equal(chunks[1], 0.0)
+    np.testing.assert_array_equal(chunks[0][0, :5], 1.0)
+    np.testing.assert_array_equal(chunks[0][1, 7:], 0.0)
+
+
 def test_full_pipeline(tmp_path):
     ds = _dataset(5)
     smodel, sparams = _structure_model_and_params(ds)
