@@ -120,8 +120,7 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, lk, nh, hd)
         v = v.reshape(b, lk, nh, hd)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-
+        pe = None
         if self.relative and cfg.position_embedding_type == "relative_key":
             max_pos = cfg.max_position_embeddings
             # torch nn.Embedding default init: N(0, 1)
@@ -131,6 +130,13 @@ class MultiHeadAttention(nn.Module):
                            name="distance_embedding")
             distance = (jnp.arange(lq)[:, None] - jnp.arange(lk)[None, :])
             pe = rel(distance + max_pos - 1)  # (Lq, Lk, hd)
+
+        if cfg.self_attention_impl == "blockdiag":
+            return self._blockdiag(q, k, v, pe, extended_mask,
+                                   deterministic=deterministic)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if pe is not None:
             scores = scores + jnp.einsum("blhd,lrd->bhlr", q, pe)
 
         scores = scores / math.sqrt(hd)
@@ -141,6 +147,44 @@ class MultiHeadAttention(nn.Module):
 
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return ctx.reshape(b, lq, h)
+
+    def _blockdiag(self, q, k, v, pe, extended_mask, *, deterministic):
+        """Stacked-head attention: rows are (l, h) pairs so ALL heads'
+        scores come from ONE 3D batched matmul with a constant same-head
+        block mask — no 4D tensors or head transposes anywhere (ROADMAP
+        item 1d). exp(-inf) = 0 at cross-head entries, so the softmax is
+        exactly the per-head softmax. H-times redundant score FLOPs —
+        profitable only when Lq*H stays small; gate via config."""
+        cfg = self.config
+        nh, hd = cfg.num_heads, cfg.head_dim
+        b, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+
+        qf = q.reshape(b, lq * nh, hd)
+        kf = k.reshape(b, lk * nh, hd)
+        vf = v.reshape(b, lk * nh, hd)
+        scores = jnp.einsum("bqd,bkd->bqk", qf, kf)      # (B, LqH, LkH)
+
+        # relative scores and padding mask broadcast over the trailing head
+        # index through a free (B, LqH, Lk, H) view
+        s4 = scores.reshape(b, lq * nh, lk, nh)
+        if pe is not None:
+            qpe = jnp.einsum("blhd,lrd->blhr", q, pe)    # (B, Lq, H, Lk)
+            s4 = s4 + qpe.reshape(b, lq * nh, lk)[..., None]
+        s4 = s4 / math.sqrt(hd)
+        if extended_mask is not None:
+            s4 = s4 + extended_mask[:, 0, 0, :][:, None, :, None]
+        scores = s4.reshape(b, lq * nh, lk * nh)
+
+        same_head = jnp.equal((jnp.arange(lq * nh) % nh)[:, None],
+                              (jnp.arange(lk * nh) % nh)[None, :])
+        scores = jnp.where(same_head, scores, -jnp.inf)
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(cfg.attention_dropout)(probs,
+                                                  deterministic=deterministic)
+        ctx = jnp.einsum("bqk,bkd->bqd", probs, vf)      # rows still (l, h)
+        return ctx.reshape(b, lq, nh * hd)
 
 
 class AttentionBlock(nn.Module):
@@ -165,12 +209,15 @@ class AttentionBlock(nn.Module):
 
 
 class TransformerLayer(nn.Module):
-    """BertLayer: self-attn [+ cross-attn] + gelu MLP, all with residual LN."""
+    """BertLayer: self-attn [+ cross-attn] + gelu MLP, all with residual LN.
+
+    `deterministic` is positional-or-keyword so the layer can sit under
+    nn.remat/nn.scan (lifted transforms take it as a static positional)."""
 
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, extended_mask, enc_out=None, enc_mask=None, *,
+    def __call__(self, x, extended_mask, enc_out=None, enc_mask=None,
                  deterministic: bool = True):
         cfg = self.config
         x = AttentionBlock(cfg, name="attention")(
@@ -188,17 +235,64 @@ class TransformerLayer(nn.Module):
                             param_dtype=cfg.param_dtype, name="output_norm")(y + x)
 
 
+def _remat_policy(name: str):
+    if name == "layer":
+        return None  # save nothing, recompute the whole layer
+    if name == "dots":
+        # save MXU outputs, recompute elementwise/softmax in the backward
+        return jax.checkpoint_policies.checkpoint_dots
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
+class _LayerScanBody(nn.Module):
+    """nn.scan carry adapter: TransformerLayer returning (carry, ys)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, extended_mask, enc_out, enc_mask, deterministic):
+        x = TransformerLayer(self.config, name="layer")(
+            x, extended_mask, enc_out, enc_mask, deterministic)
+        return x, None
+
+
 class TransformerStack(nn.Module):
-    """BertEncoder: a stack of TransformerLayers."""
+    """BertEncoder: a stack of TransformerLayers.
+
+    cfg.remat wraps each layer in jax.checkpoint (numerics unchanged);
+    cfg.scan_layers compiles ONE scanned layer body instead of num_layers
+    unrolled copies — params gain a leading layer axis under
+    "layers"/"layer" (converters in models/restack.py)."""
 
     config: TransformerConfig
 
     @nn.compact
     def __call__(self, x, extended_mask, enc_out=None, enc_mask=None, *,
                  deterministic: bool = True):
-        for i in range(self.config.num_layers):
-            x = TransformerLayer(self.config, name=f"layer_{i}")(
-                x, extended_mask, enc_out, enc_mask, deterministic=deterministic)
+        cfg = self.config
+        if cfg.scan_layers:
+            body = _LayerScanBody
+            if cfg.remat != "none":
+                body = nn.remat(body, policy=_remat_policy(cfg.remat),
+                                static_argnums=(5,), prevent_cse=False)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 4,
+                length=cfg.num_layers,
+            )(cfg, name="layers")
+            x, _ = scanned(x, extended_mask, enc_out, enc_mask, deterministic)
+            return x
+
+        layer_cls = TransformerLayer
+        if cfg.remat != "none":
+            layer_cls = nn.remat(TransformerLayer,
+                                 policy=_remat_policy(cfg.remat),
+                                 static_argnums=(5,))
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, name=f"layer_{i}")(
+                x, extended_mask, enc_out, enc_mask, deterministic)
         return x
 
 

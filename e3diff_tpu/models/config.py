@@ -34,6 +34,21 @@ class TransformerConfig:
     init_style: str = "torch_default"
     dtype: Any = jnp.float32      # activation/compute dtype (bf16 for TPU speed)
     param_dtype: Any = jnp.float32
+    # Rematerialization of transformer layers in the backward pass:
+    # "none" | "layer" (recompute everything) | "dots" (save matmul outputs,
+    # recompute elementwise — usually the TPU sweet spot). Numerics identical.
+    remat: str = "none"
+    # Compile the stack as ONE nn.scan'ed layer body instead of num_layers
+    # unrolled copies (params gain a leading layer axis — see
+    # models/restack.py for the per-layer <-> stacked converters that keep
+    # torch-ported checkpoints loadable). Cuts compile time; same numerics.
+    scan_layers: bool = False
+    # Self-attention score layout: "einsum" (per-head batched dots in
+    # (B,L,H,D)) or "blockdiag" ((B, L*H, D) rows with a constant
+    # same-head block mask — ONE 3D matmul, no 4D tensors; wins at small
+    # Lq where reshapes dominate, loses at Lk=64+ where the H-times-larger
+    # score tensor costs more bandwidth than it saves — see ROADMAP).
+    self_attention_impl: str = "einsum"
 
     @property
     def head_dim(self) -> int:

@@ -24,7 +24,7 @@ import optax
 from flax.training import train_state
 
 from e3diff_tpu.diffusion.gaussian import GaussianAngleDiffusion
-from e3diff_tpu.ops.angles import radian_l1_loss, radian_smooth_l1_loss
+from e3diff_tpu.ops.angles import wrap_angle
 
 FEATURE_NAMES = ["phi", "psi", "omega", "dihedral_o",
                  "tau", "CA:C:1N", "1C:N:CA", "CA:C:O"]
@@ -34,18 +34,26 @@ SMOOTH_L1_BETA = float(np.pi / 10)
 def structure_loss_terms(pred_noise, known_noise, ligand_mask):
     """Per-channel masked losses; returns (8,) array ordered as
     FEATURE_NAMES. Identical value to the reference's boolean-index-then-
-    mean (model.py:293-302)."""
-    mask = ligand_mask  # (B, L)
-    terms = []
-    for i in range(pred_noise.shape[-1]):
-        if i < 4:
-            terms.append(radian_l1_loss(
-                pred_noise[..., i], known_noise[..., i], mask=mask))
-        else:
-            terms.append(radian_smooth_l1_loss(
-                pred_noise[..., i], known_noise[..., i],
-                beta=SMOOTH_L1_BETA, mask=mask))
-    return jnp.stack(terms)
+    mean (model.py:293-302).
+
+    All 8 channels are computed in ONE fused masked reduction (a single
+    pass over the (B, L, 8) tensors instead of 16 per-channel slices) —
+    channel formulas are exactly radian_l1_loss (first 4, dihedrals) and
+    radian_smooth_l1_loss(beta=pi/10) (last 4, bond angles)."""
+    mask = ligand_mask.astype(pred_noise.dtype)          # (B, L)
+    # dihedral channels: radian_l1's wrap formulation
+    d_l1 = (known_noise % (2 * jnp.pi)) - (pred_noise % (2 * jnp.pi))
+    d_l1 = (d_l1 + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    l1 = jnp.abs(d_l1)
+    # bond-angle channels: smooth-l1 on wrap_angle(target - input)
+    d_s = wrap_angle(known_noise - pred_noise)
+    abs_d = jnp.abs(d_s)
+    huber = jnp.where(abs_d < SMOOTH_L1_BETA,
+                      0.5 * (d_s ** 2) / SMOOTH_L1_BETA,
+                      abs_d - 0.5 * SMOOTH_L1_BETA)
+    per_elem = jnp.concatenate([l1[..., :4], huber[..., 4:]], axis=-1)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(per_elem * mask[..., None], axis=(0, 1)) / denom
 
 
 class TrainState(train_state.TrainState):
