@@ -103,12 +103,16 @@ class GaussianAngleDiffusion:
         *,
         step: int = 1,
         return_trajectory: bool = True,
+        trajectory_dtype=None,
     ):
         """`lax.scan` over reversed(range(0, T, step)).
 
         Returns the final sample, plus the full trajectory stacked over
         steps (newest last index ordering matches the reference's
         noises-append order: index 0 is t=T-1) when requested.
+        `trajectory_dtype` (e.g. bfloat16) downcasts only the STORED
+        trajectory — the carried x stays full precision — halving the
+        (T, B, L, F) buffer and its device->host transfer.
         """
         t_values = jnp.asarray(
             list(reversed(range(0, self.timesteps, step))), dtype=jnp.int32)
@@ -120,7 +124,10 @@ class GaussianAngleDiffusion:
             t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
             eps_hat = denoise_fn(t_vec, x)
             x = self.p_step(k_step, x, eps_hat, t_vec)
-            return (x, k), (x if return_trajectory else None)
+            y = None
+            if return_trajectory:
+                y = x if trajectory_dtype is None else x.astype(trajectory_dtype)
+            return (x, k), y
 
         (x_final, _), traj = jax.lax.scan(body, (x_init, key), t_values)
         return (x_final, traj) if return_trajectory else (x_final, None)

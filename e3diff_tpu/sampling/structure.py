@@ -25,7 +25,8 @@ from e3diff_tpu.diffusion.gaussian import (
 
 
 def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
-                           step: int = 1, return_trajectory: bool = True):
+                           step: int = 1, return_trajectory: bool = True,
+                           trajectory_dtype=None):
     """Returns a jitted f(params, batch, key) -> (final, trajectory)."""
 
     @jax.jit
@@ -51,7 +52,8 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
 
         return diffusion.sample_loop(
             denoise_fn, key_loop, x_init, step=step,
-            return_trajectory=return_trajectory)
+            return_trajectory=return_trajectory,
+            trajectory_dtype=trajectory_dtype)
 
     return run
 

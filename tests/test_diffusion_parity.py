@@ -263,6 +263,25 @@ def test_gaussian_sample_loop_shapes():
     np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final))
 
 
+def test_gaussian_sample_loop_trajectory_dtype():
+    """trajectory_dtype downcasts only the stored trajectory; the carried
+    sample stays full precision and bit-matches the default run."""
+    diff = GaussianAngleDiffusion.cosine(10)
+    x0 = jnp.zeros((2, 8, 8))
+    denoise = lambda t, x: jnp.zeros_like(x)
+    final_a, traj_a = diff.sample_loop(denoise, jax.random.PRNGKey(5), x0,
+                                       return_trajectory=True)
+    final_b, traj_b = diff.sample_loop(denoise, jax.random.PRNGKey(5), x0,
+                                       return_trajectory=True,
+                                       trajectory_dtype=jnp.bfloat16)
+    assert traj_b.dtype == jnp.bfloat16
+    assert final_b.dtype == final_a.dtype
+    np.testing.assert_array_equal(np.asarray(final_a), np.asarray(final_b))
+    np.testing.assert_allclose(np.asarray(traj_a),
+                               np.asarray(traj_b, dtype=np.float32),
+                               atol=0.02)
+
+
 def test_d3pm_sample_loop_shapes():
     d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=10)
     x = d3pm.init_noise(jax.random.PRNGKey(1), 2, 6)
