@@ -52,11 +52,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def param_sharding_rules(params, mesh: Mesh):
     """PartitionSpec tree for a denoiser parameter tree.
 
-    Column-parallel kernels -> P(None, 'tp') with P('tp') bias;
-    row-parallel kernels -> P('tp', None) with replicated bias;
+    Column-parallel kernels -> P(..., 'tp') with sharded bias;
+    row-parallel kernels -> P(..., 'tp', None) with replicated bias;
     everything else (embeddings, norms, adaLN, heads) replicated.
-    Falls back to replication when a dimension is not divisible by the
-    tp extent."""
+    Rules are rank-aware so scan_layers trees (kernels carry a leading
+    num_layers axis) shard the same feature dimensions. Falls back to
+    replication when a dimension is not divisible by the tp extent."""
     tp = mesh.shape["tp"]
 
     def rule(path, leaf):
@@ -65,14 +66,14 @@ def param_sharding_rules(params, mesh: Mesh):
             return P()
         leaf_name, parent = names[-1], names[-2]
         if leaf_name == "kernel" and parent in _COL_PARALLEL:
-            if leaf.shape[1] % tp == 0:
-                return P(None, "tp")
+            if leaf.shape[-1] % tp == 0:
+                return P(*([None] * (leaf.ndim - 1)), "tp")
         elif leaf_name == "kernel" and parent in _ROW_PARALLEL:
-            if leaf.shape[0] % tp == 0:
-                return P("tp", None)
+            if leaf.shape[-2] % tp == 0:
+                return P(*([None] * (leaf.ndim - 2)), "tp", None)
         elif leaf_name == "bias" and parent in _COL_PARALLEL:
-            if leaf.shape[0] % tp == 0:
-                return P("tp")
+            if leaf.shape[-1] % tp == 0:
+                return P(*([None] * (leaf.ndim - 1)), "tp")
         return P()
 
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -110,6 +110,50 @@ def test_sharded_params_layouts():
     assert shard_shapes == {(64, 16)}
 
 
+def test_scan_layers_dp_tp_train_step_matches_single_device():
+    """The dp x tp sharded step also reproduces the single-device step when
+    the stacks are nn.scan'ed (rank-3 kernels; rank-aware sharding rules)."""
+    import dataclasses
+
+    from e3diff_tpu.models.restack import params_to_scan
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(dp=4, tp=2)
+    scan_cfg = lambda cross: dataclasses.replace(_cfg(cross), scan_layers=True)
+    model = StructureDenoiser(scan_cfg(False), scan_cfg(True))
+    diff = GaussianAngleDiffusion.cosine(50)
+    batch = _batch()
+
+    rng = jax.random.PRNGKey(17)
+    params = model.init(rng, jnp.zeros((8,), jnp.int32),
+                        *[jnp.asarray(batch[k]) for k in
+                          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+                           "receptor_angles", "receptor_attn_mask"]])["params"]
+    # scan kernels carry the layer axis; tp must still split features
+    qk_spec = param_sharding_rules(params, mesh)[
+        "decoder"]["layers"]["layer"]["attention"]["self"]["query"]["kernel"]
+    assert qk_spec == P(None, None, "tp")
+
+    trainer = StructureTrainer(
+        model, diff, make_optimizer(params, base_lr=1e-3,
+                                    max_epochs=10, steps_per_epoch=5))
+    state1 = trainer.create_state(rng, batch)
+    state1 = state1.replace(params=jax.tree.map(jnp.copy, params))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state1, metrics1 = trainer.train_step(state1, dict(jbatch), rng)
+
+    state2 = trainer.create_state(rng, batch)
+    state2 = state2.replace(params=shard_params(params, mesh))
+    state2, metrics2 = trainer.train_step(state2, shard_batch(batch, mesh),
+                                          rng)
+    np.testing.assert_allclose(float(metrics1["train_loss"]),
+                               float(metrics2["train_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
 def test_multihost_single_process_path():
     from e3diff_tpu.parallel.multihost import distribute_batch, host_local_slice
 
