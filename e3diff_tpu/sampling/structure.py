@@ -24,10 +24,25 @@ from e3diff_tpu.diffusion.gaussian import (
 )
 
 
+# jit caches are per-function-object: without this, every
+# make_structure_sampler call would build a fresh closure and pay a full
+# recompile (30-340 s through the remote tunnel) even for identical
+# (model, diffusion, flags). Keyed by object identity; the stored refs pin
+# the ids.
+_SAMPLER_CACHE: dict = {}
+
+
 def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
                            step: int = 1, return_trajectory: bool = True,
                            trajectory_dtype=None):
-    """Returns a jitted f(params, batch, key) -> (final, trajectory)."""
+    """Returns a jitted f(params, batch, key) -> (final, trajectory).
+    Cached per (model, diffusion, step, flags) so repeated calls reuse the
+    compiled program."""
+    key = (id(model), id(diffusion), step, return_trajectory,
+           str(trajectory_dtype))
+    hit = _SAMPLER_CACHE.get(key)
+    if hit is not None and hit[0] is model and hit[1] is diffusion:
+        return hit[2]
 
     @jax.jit
     def run(params, batch, key):
@@ -55,6 +70,7 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
             return_trajectory=return_trajectory,
             trajectory_dtype=trajectory_dtype)
 
+    _SAMPLER_CACHE[key] = (model, diffusion, run)
     return run
 
 
@@ -68,27 +84,46 @@ def sample_structure_batches(
     step: int = 1,
     first_batch_only: bool = True,
     return_trajectory: bool = True,
+    trajectory_dtype=None,
 ) -> list[np.ndarray]:
     """Returns a list of per-sample arrays shaped (T, len_i, 8) (trajectory)
-    or (len_i, 8) (final only), matching the reference output.pkl layout."""
+    or (len_i, 8) (final only), matching the reference output.pkl layout.
+
+    Device->host transfer of batch n's trajectory overlaps batch n+1's
+    on-device sampling (dispatch is async; materialization of completed
+    buffers is pure IO). Through this environment's remote-TPU tunnel the
+    full (1000, 64, 64, 8) f32 trajectory takes ~10 s to pull — LONGER
+    than the 6.8 s of sampling compute — so the overlap (and the optional
+    bfloat16 trajectory_dtype, 2x smaller) is where the wall-clock is
+    (BENCHMARKS.md round-2 measurements)."""
     sampler = make_structure_sampler(model, diffusion, step=step,
-                                     return_trajectory=return_trajectory)
+                                     return_trajectory=return_trajectory,
+                                     trajectory_dtype=trajectory_dtype)
+
+    def materialize(pending):
+        final, traj, lengths, num_valid = pending
+        if return_trajectory:
+            traj = np.asarray(traj)
+            if traj.dtype != np.float32:  # bf16 travels; f32 lands on host
+                traj = traj.astype(np.float32)
+            return [traj[:, i, :lengths[i], :] for i in range(num_valid)]
+        final = np.asarray(final)
+        return [final[i, :lengths[i], :] for i in range(num_valid)]
+
     results = []
+    pending = None
     for batch in batches:
         key, bkey = jax.random.split(key)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("num_valid", "structure_ids")}
-        final, traj = sampler(params, jbatch, bkey)
+        final, traj = sampler(params, jbatch, bkey)  # async dispatch
         lengths = np.asarray(batch["ligand_attn_mask"]).sum(1).astype(int)
         num_valid = int(batch.get("num_valid", len(lengths)))
-        if return_trajectory:
-            traj = np.asarray(traj)
-            results.extend(traj[:, i, :lengths[i], :]
-                           for i in range(num_valid))
-        else:
-            final = np.asarray(final)
-            results.extend(final[i, :lengths[i], :]
-                           for i in range(num_valid))
+        if pending is not None:
+            results.extend(materialize(pending))
+        pending = (final, traj, lengths, num_valid)
         if first_batch_only:
             break
+    if pending is not None:
+        results.extend(materialize(pending))
     return results

@@ -175,6 +175,47 @@ def run_sample_exp(name, *, b=64, l_lig=16, l_rec=64, t_steps=1000,
     log_result(name, **rec)
 
 
+def run_sustained_exp(name, *, n_batches=3, b=64, l=64, t_steps=1000,
+                      traj_dtype=None):
+    """Multi-batch faithful sampling with the async transfer overlap in
+    sample_structure_batches: wall-clock per batch including pulling every
+    trajectory to host (what the reference's output.pkl actually costs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3diff_tpu.diffusion import GaussianAngleDiffusion
+    from e3diff_tpu.models import StructureDenoiser
+    from e3diff_tpu.sampling.structure import sample_structure_batches
+
+    enc, dec = _full_cfgs(l)
+    model = StructureDenoiser(enc, dec)
+    diffusion = GaussianAngleDiffusion.cosine(t_steps)
+    batch = _train_batch(b, l)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((b,), jnp.int32),
+        *[jnp.asarray(batch[k]) for k in
+          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+           "receptor_angles", "receptor_attn_mask"]])["params"]
+
+    td = jnp.bfloat16 if traj_dtype == "bf16" else None
+    # warm the (now cached) jit program with one full batch incl. transfer
+    sample_structure_batches(
+        params, model, diffusion, [dict(batch)], jax.random.PRNGKey(1),
+        first_batch_only=False, return_trajectory=True, trajectory_dtype=td)
+
+    t0 = time.perf_counter()
+    out = sample_structure_batches(
+        params, model, diffusion, [dict(batch) for _ in range(n_batches)],
+        jax.random.PRNGKey(2), first_batch_only=False,
+        return_trajectory=True, trajectory_dtype=td)
+    elapsed = time.perf_counter() - t0
+    assert len(out) == n_batches * b and out[0].dtype == np.float32
+    log_result(name, n_batches=n_batches, b=b, l=l,
+               total_s=round(elapsed, 2),
+               s_per_batch=round(elapsed / n_batches, 2),
+               peptides_per_s=round(n_batches * b / elapsed, 1))
+
+
 EXPS = {
     # training-step variants (146M, B=64, L=64, bf16, dropout on)
     "train_base": lambda: run_train_exp("train_base"),
@@ -199,6 +240,12 @@ EXPS = {
         transfer=True),
     "faithful_bd": lambda: run_sample_exp(
         "faithful_bd", l_lig=64, self_attention_impl="blockdiag"),
+    # sustained overlap: compute of batch n+1 hides transfer of batch n
+    "sustained_f32": lambda: run_sustained_exp("sustained_f32"),
+    "sustained_bf16": lambda: run_sustained_exp("sustained_bf16",
+                                                traj_dtype="bf16"),
+    "sustained_serial_f32": lambda: run_sustained_exp(
+        "sustained_serial_f32", n_batches=1),
 }
 
 
@@ -206,12 +253,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--exps", required=True,
                         help="comma-separated experiment names, or 'all'")
+    parser.add_argument("--isolate", action="store_true",
+                        help="run each experiment in its own subprocess so "
+                             "an OOM cannot poison the rest (a b=256 OOM "
+                             "cascaded RESOURCE_EXHAUSTED through every "
+                             "later experiment in round 2's first run)")
     args = parser.parse_args()
+    names = list(EXPS) if args.exps == "all" else args.exps.split(",")
+    if args.isolate:
+        import subprocess
+
+        for n in names:
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--exps", n], check=False)
+        return
     if os.environ.get("E3DIFF_EXP_PLATFORM"):  # e.g. cpu for plumbing smoke
         import jax
 
         jax.config.update("jax_platforms", os.environ["E3DIFF_EXP_PLATFORM"])
-    names = list(EXPS) if args.exps == "all" else args.exps.split(",")
     for n in names:
         try:
             EXPS[n]()

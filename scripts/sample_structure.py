@@ -67,6 +67,10 @@ def main():
                              "quirk (Q5)")
     parser.add_argument("--no_trajectory", action="store_true",
                         help="keep only the final sample per peptide")
+    parser.add_argument("--trajectory_bf16", action="store_true",
+                        help="store/pull the trajectory in bfloat16 (halves "
+                             "the device->host transfer, which exceeds the "
+                             "sampling compute itself on tunneled TPUs)")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
@@ -94,10 +98,13 @@ def main():
     sample_batch = next(test_ds.batches(cfg.batch_size))
     params = load_params(args.ckpt, model, sample_batch, rng)
 
+    import jax.numpy as jnp
+
     results = sample_structure_batches(
         params, model, diffusion, test_ds.batches(cfg.batch_size), rng,
         step=args.step, first_batch_only=not args.all_batches,
-        return_trajectory=not args.no_trajectory)
+        return_trajectory=not args.no_trajectory,
+        trajectory_dtype=jnp.bfloat16 if args.trajectory_bf16 else None)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     with open(args.output, "wb") as f:

@@ -108,6 +108,29 @@ def test_sequence_sampling_outputs():
     assert res["structure_ids"][0].startswith("syn")
 
 
+def test_sampler_jit_program_cache():
+    """Repeated make_*_sampler calls with identical (model, diffusion,
+    flags) must return the SAME jitted function (a fresh closure per call
+    would recompile — 30-340 s through the remote TPU tunnel)."""
+    from e3diff_tpu.sampling.sequence import make_sequence_sampler
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    ds = _dataset(2)
+    smodel, _ = _structure_model_and_params(ds)
+    diff = GaussianAngleDiffusion.cosine(4)
+    a = make_structure_sampler(smodel, diff, step=1, return_trajectory=False)
+    b = make_structure_sampler(smodel, diff, step=1, return_trajectory=False)
+    assert a is b
+    c = make_structure_sampler(smodel, diff, step=2, return_trajectory=False)
+    assert c is not a
+
+    qmodel, _ = _sequence_model_and_params(ds)
+    d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=4)
+    d = make_sequence_sampler(qmodel, d3pm, diverse=True)
+    assert make_sequence_sampler(qmodel, d3pm, diverse=True) is d
+    assert make_sequence_sampler(qmodel, d3pm, diverse=False) is not d
+
+
 def test_pad_generated_zero_valid_batch():
     """A batch with zero valid rows must not index into an empty chunk."""
     from e3diff_tpu.sampling.pipeline import _pad_generated
