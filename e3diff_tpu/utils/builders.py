@@ -25,6 +25,8 @@ def transformer_configs(cfg: ExperimentConfig, init_style: str):
         position_embedding_type=cfg.position_embedding_type,
         init_style=init_style,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        scan_layers=cfg.scan_layers,
+        remat=cfg.remat,
     )
     enc = TransformerConfig(**base, add_cross_attention=False)
     dec = TransformerConfig(**base, add_cross_attention=True)

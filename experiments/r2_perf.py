@@ -216,6 +216,56 @@ def run_sustained_exp(name, *, n_batches=3, b=64, l=64, t_steps=1000,
                peptides_per_s=round(n_batches * b / elapsed, 1))
 
 
+def run_sustained_debug(name):
+    """Phase breakdown of one faithful batch: dispatch / compute / traj
+    transfer / host slicing — to explain the sustained-run wall clock."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3diff_tpu.diffusion import GaussianAngleDiffusion
+    from e3diff_tpu.models import StructureDenoiser
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    b = l = 64
+    enc, dec = _full_cfgs(l)
+    model = StructureDenoiser(enc, dec)
+    diffusion = GaussianAngleDiffusion.cosine(1000)
+    batch = _train_batch(b, l)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((b,), jnp.int32),
+        *[jbatch[k] for k in
+          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+           "receptor_angles", "receptor_attn_mask"]])["params"]
+    sampler = make_structure_sampler(model, diffusion,
+                                     return_trajectory=True)
+    f, t = sampler(params, jbatch, jax.random.PRNGKey(1))  # compile
+    float(jnp.sum(f))
+    np.asarray(t)
+
+    phases = {}
+    t0 = time.perf_counter()
+    final, traj = sampler(params, jbatch, jax.random.PRNGKey(2))
+    phases["dispatch_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(final))
+    phases["compute_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    traj_np = np.asarray(traj)
+    phases["traj_transfer_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    parts = [traj_np[:, i, :48, :] for i in range(b)]
+    phases["slice_s"] = time.perf_counter() - t0
+    assert len(parts) == b
+    # second run: np.asarray WITHOUT the prior hard sync (the sustained
+    # path) — does device_get while busy behave differently?
+    t0 = time.perf_counter()
+    final, traj = sampler(params, jbatch, jax.random.PRNGKey(3))
+    traj_np = np.asarray(traj)
+    phases["dispatch_plus_unsync_get_s"] = time.perf_counter() - t0
+    log_result(name, **{k: round(v, 3) for k, v in phases.items()})
+
+
 EXPS = {
     # training-step variants (146M, B=64, L=64, bf16, dropout on)
     "train_base": lambda: run_train_exp("train_base"),
@@ -246,6 +296,7 @@ EXPS = {
                                                 traj_dtype="bf16"),
     "sustained_serial_f32": lambda: run_sustained_exp(
         "sustained_serial_f32", n_batches=1),
+    "sustained_debug": lambda: run_sustained_debug("sustained_debug"),
 }
 
 

@@ -31,9 +31,12 @@ def load_params(ckpt_path: str, model, sample_batch, rng):
 
         sd = {k: v.numpy() for k, v in
               torch.load(ckpt_path, map_location="cpu").items()}
-        return jax.tree.map(
-            jnp.asarray,
-            port_sequence_state_dict(sd, model.decoder_config.num_layers))
+        params = port_sequence_state_dict(sd, model.decoder_config.num_layers)
+        if model.decoder_config.scan_layers:
+            from e3diff_tpu.models.restack import params_to_scan
+
+            params = params_to_scan(params)
+        return jax.tree.map(jnp.asarray, params)
 
     from e3diff_tpu.training.checkpoint import CheckpointManager
 

@@ -34,11 +34,14 @@ def load_params(ckpt_path: str, model, sample_batch, rng):
 
         sd = {k: v.numpy() for k, v in
               torch.load(ckpt_path, map_location="cpu").items()}
-        return jax.tree.map(
-            jnp.asarray,
-            port_structure_state_dict(
-                sd, model.encoder_config.num_layers,
-                model.decoder_config.num_layers))
+        params = port_structure_state_dict(
+            sd, model.encoder_config.num_layers,
+            model.decoder_config.num_layers)
+        if model.encoder_config.scan_layers:
+            from e3diff_tpu.models.restack import params_to_scan
+
+            params = params_to_scan(params)
+        return jax.tree.map(jnp.asarray, params)
 
     from e3diff_tpu.training.checkpoint import CheckpointManager
 
