@@ -23,13 +23,16 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--data_file", default=None,
+                        help="complex file (.pt or .pkl); optional with --synthetic")
     parser.add_argument("--angles", help="sampled angles pickle")
     parser.add_argument("--sequences", help="sequence results pickle")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=32)
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
+    if not args.synthetic and not args.data_file:
+        parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes

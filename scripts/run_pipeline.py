@@ -20,7 +20,8 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--data_file", default=None,
+                        help="complex file (.pt or .pkl); optional with --synthetic")
     parser.add_argument("--structure_ckpt", required=True)
     parser.add_argument("--sequence_ckpt", required=True)
     parser.add_argument("--outdir", default="./data/pipeline")
@@ -29,6 +30,8 @@ def main():
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
+    if not args.synthetic and not args.data_file:
+        parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
     import dataclasses

@@ -27,7 +27,8 @@ from scripts.sample_sequence import load_params  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--data_file", default=None,
+                        help="complex file (.pt or .pkl); optional with --synthetic")
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--generated", default="./data/output.pkl")
     parser.add_argument("--output",
@@ -36,6 +37,8 @@ def main():
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, sequence_sample_config())
     args = parser.parse_args()
+    if not args.synthetic and not args.data_file:
+        parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
     import jax

@@ -56,7 +56,8 @@ def load_params(ckpt_path: str, model, sample_batch, rng):
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--data_file", default=None,
+                        help="complex file (.pt or .pkl); optional with --synthetic")
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--output", default="./data/seq_output.pkl")
     parser.add_argument("--transition", default="blosum",
@@ -66,6 +67,8 @@ def main():
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, sequence_sample_config())
     args = parser.parse_args()
+    if not args.synthetic and not args.data_file:
+        parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
     import jax

@@ -21,7 +21,8 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data_file", required=True)
+    parser.add_argument("--data_file", default=None,
+                        help="complex file (.pt or .pkl); optional with --synthetic")
     parser.add_argument("--ckpt_dir", default="./runs/sequence")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=64)
@@ -29,6 +30,8 @@ def main():
     parser.add_argument("--tp", type=int, default=1)
     add_config_flags(parser, sequence_train_config())
     args = parser.parse_args()
+    if not args.synthetic and not args.data_file:
+        parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
     import jax
