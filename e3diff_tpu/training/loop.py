@@ -21,10 +21,23 @@ from e3diff_tpu.training.checkpoint import BestTracker, CheckpointManager
 
 
 def _mean_metrics(history: list[dict]) -> dict:
+    """Epoch means with ONE device round trip per metric.
+
+    float()-ing each step's scalars individually costs a ~25 ms tunnel
+    round trip per (step, metric) — more than the train step itself at
+    B=128. Stack on device, mean, transfer once per key."""
     if not history:
         return {}
-    keys = history[0].keys()
-    return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
+    import jax.numpy as jnp
+
+    out = {}
+    for k in history[0].keys():
+        vals = [h[k] for h in history]
+        if isinstance(vals[0], jax.Array):
+            out[k] = float(jnp.mean(jnp.stack(vals)))
+        else:
+            out[k] = float(np.mean([float(v) for v in vals]))
+    return out
 
 
 def _clean(batch: dict) -> dict:
