@@ -24,6 +24,13 @@ import numpy as np
 
 
 def main():
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()  # skip the 30-340 s remote
+    # compile on repeat runs; the timed region excludes compilation either
+    # way (one untimed warmup call precedes the measurements)
+
     import jax
     import jax.numpy as jnp
 

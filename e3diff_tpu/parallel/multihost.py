@@ -74,22 +74,44 @@ def pad_local_batch(local_batch: dict, target_rows: int) -> dict:
     return out
 
 
-def distribute_batch(local_batch: dict, mesh) -> dict:
+def distribute_batch(local_batch: dict, mesh,
+                     global_rows: int | None = None) -> dict:
     """Host-local numpy batch -> globally sharded device arrays.
 
     In single-process mode this is a plain device_put with the dp
     sharding; in multi-process mode each host contributes its local rows.
+
+    Multi-process callers MUST give every host the same local row count
+    (`host_local_slice` sizes differ by one when n % process_count != 0 —
+    pad with `pad_local_batch(batch, host_batch_rows(n))` first). The
+    global shape is derived from the local row count, so divergent local
+    sizes would mean divergent global shapes across processes (a hang or
+    crash inside jax.make_array_from_process_local_data). Pass
+    `global_rows=n` (the pre-slice total) to have that contract checked
+    here instead of failing deep in the runtime.
     """
     sharding = batch_sharding(mesh)
+    pc = jax.process_count()
     out = {}
+    rows = {np.asarray(v).shape[0] for k, v in local_batch.items()
+            if k not in ("num_valid", "structure_ids")}
+    if len(rows) > 1:
+        raise ValueError(f"inconsistent row counts across batch keys: {rows}")
+    if pc > 1 and global_rows is not None and rows:
+        expected = host_batch_rows(global_rows)
+        if next(iter(rows)) != expected:
+            raise ValueError(
+                f"local batch has {next(iter(rows))} rows but "
+                f"host_batch_rows({global_rows}) = {expected}; pad with "
+                f"pad_local_batch before distribute_batch")
     for k, v in local_batch.items():
         if k in ("num_valid", "structure_ids"):
             continue
         v = np.asarray(v)
-        if jax.process_count() == 1:
+        if pc == 1:
             out[k] = jax.device_put(v, sharding)
         else:
-            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+            global_shape = (v.shape[0] * pc,) + v.shape[1:]
             out[k] = jax.make_array_from_process_local_data(
                 sharding, v, global_shape)
     return out

@@ -21,19 +21,21 @@ from e3diff_tpu.data.dataset import AA_VOCAB
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
 
 
-# identity-keyed jit-program cache, same rationale as
+from e3diff_tpu.utils.jit_cache import JitSamplerCache
+
+# bounded LRU jit-program cache, same rationale as
 # sampling/structure._SAMPLER_CACHE (a fresh closure per call would pay a
 # full remote recompile for identical model/d3pm/diverse)
-_SAMPLER_CACHE: dict = {}
+_SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 
 
 def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True):
     """Returns a jitted f(params, batch, key) -> final logits (B, L, K).
     Cached per (model, d3pm, diverse)."""
     cache_key = (id(model), id(d3pm), diverse)
-    hit = _SAMPLER_CACHE.get(cache_key)
-    if hit is not None and hit[0] is model and hit[1] is d3pm:
-        return hit[2]
+    hit = _SAMPLER_CACHE.get(cache_key, model, d3pm)
+    if hit is not None:
+        return hit
 
     @jax.jit
     def run(params, batch, key):
@@ -52,7 +54,7 @@ def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True):
 
         return d3pm.sample_loop(denoise_fn, key_loop, x_init, diverse=diverse)
 
-    _SAMPLER_CACHE[cache_key] = (model, d3pm, run)
+    _SAMPLER_CACHE.put(cache_key, run, model, d3pm)
     return run
 
 

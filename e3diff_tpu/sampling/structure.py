@@ -24,12 +24,12 @@ from e3diff_tpu.diffusion.gaussian import (
 )
 
 
-# jit caches are per-function-object: without this, every
-# make_structure_sampler call would build a fresh closure and pay a full
-# recompile (30-340 s through the remote tunnel) even for identical
-# (model, diffusion, flags). Keyed by object identity; the stored refs pin
-# the ids.
-_SAMPLER_CACHE: dict = {}
+from e3diff_tpu.utils.jit_cache import JitSamplerCache
+
+# bounded LRU: repeated make_structure_sampler calls for the same
+# (model, diffusion, flags) reuse the compiled program instead of
+# repaying a 30-340 s remote recompile; see utils/jit_cache.py.
+_SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 
 
 def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
@@ -40,9 +40,9 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
     compiled program."""
     key = (id(model), id(diffusion), step, return_trajectory,
            str(trajectory_dtype))
-    hit = _SAMPLER_CACHE.get(key)
-    if hit is not None and hit[0] is model and hit[1] is diffusion:
-        return hit[2]
+    hit = _SAMPLER_CACHE.get(key, model, diffusion)
+    if hit is not None:
+        return hit
 
     @jax.jit
     def run(params, batch, key):
@@ -70,7 +70,7 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
             return_trajectory=return_trajectory,
             trajectory_dtype=trajectory_dtype)
 
-    _SAMPLER_CACHE[key] = (model, diffusion, run)
+    _SAMPLER_CACHE.put(key, run, model, diffusion)
     return run
 
 

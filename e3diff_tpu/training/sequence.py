@@ -42,7 +42,12 @@ def masked_cross_entropy(logits, target_onehot, mask):
 
 def sequence_losses(pred_logits, noised_seq, ligand_seq, ligand_mask):
     """Returns (total_loss, metrics dict) — reference get_loss
-    (sequence_model/model.py:313-345)."""
+    (sequence_model/model.py:313-345).
+
+    Loss arithmetic runs in float32 even when the model computes in bf16:
+    log-softmax, masked means, and the ELBO KL would otherwise round in
+    bfloat16 (including the masked-count denominators)."""
+    pred_logits = pred_logits.astype(jnp.float32)
     lig_mask = ligand_mask.astype(bool)
     noised_mask = noised_seq.argmax(-1) != ligand_seq.argmax(-1)
 

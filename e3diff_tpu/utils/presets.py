@@ -81,11 +81,22 @@ def sequence_sample_config(**overrides) -> ExperimentConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+def parse_bool_flag(s: str) -> bool:
+    """Strict bool parser: unrecognized spellings error instead of
+    silently becoming False (argparse reports the ValueError)."""
+    low = s.strip().lower()
+    if low in ("true", "1", "yes", "on"):
+        return True
+    if low in ("false", "0", "no", "off"):
+        return False
+    raise ValueError(f"expected true/false, got {s!r}")
+
+
 def add_config_flags(parser, defaults: ExperimentConfig):
     for f in dataclasses.fields(ExperimentConfig):
         val = getattr(defaults, f.name)
         if f.type == "bool" or isinstance(val, bool):
-            parser.add_argument(f"--{f.name}", type=lambda s: s == "true",
+            parser.add_argument(f"--{f.name}", type=parse_bool_flag,
                                 default=val)
         else:
             typ = type(val) if val is not None else int

@@ -177,6 +177,9 @@ def export_selayer(tree, p, out):
 
 
 def export_transformer_stack(tree, p, out):
+    if set(tree) == {"layers"}:  # scan_layers layout -> per-layer first
+        from e3diff_tpu.models.restack import params_from_scan
+        tree = params_from_scan(tree)
     base = f"{p}.layer" if p else "layer"
     for name in sorted(tree, key=lambda s: int(s.rsplit("_", 1)[1])):
         i = int(name.rsplit("_", 1)[1])

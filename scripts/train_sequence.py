@@ -34,6 +34,11 @@ def main():
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()
+
     import jax
 
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes

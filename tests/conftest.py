@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # config before any backend is touched. Tests must run on the virtual-device
 # CPU platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep tests hermetic: CLI mains enable the persistent compilation cache
+# unless opted out (tests that exercise it override this per-test)
+os.environ.setdefault("E3DIFF_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

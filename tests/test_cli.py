@@ -1,6 +1,7 @@
 """CLI regression tests: run every entry script end-to-end on tiny
 synthetic configs (CPU). Mirrors a user driving the framework."""
 
+import os
 import pickle
 import sys
 
@@ -123,3 +124,39 @@ def test_convert_data_cli(tmp_path, monkeypatch):
     assert len(out) == 4
     np.testing.assert_allclose(out[0]["angle_features"],
                                data[0]["angle_features"], atol=1e-6)
+
+
+def test_parse_bool_flag_strict():
+    """Bool flags accept common spellings case-insensitively and reject
+    junk ('--scan_layers True' silently parsing as False was an r2 review
+    finding)."""
+    import pytest
+
+    from e3diff_tpu.utils.presets import parse_bool_flag
+
+    for s in ("true", "True", "TRUE", "1", "yes", "on"):
+        assert parse_bool_flag(s) is True, s
+    for s in ("false", "False", "0", "no", "off"):
+        assert parse_bool_flag(s) is False, s
+    with pytest.raises(ValueError):
+        parse_bool_flag("maybe")
+
+
+def test_compile_cache_toggle(tmp_path, monkeypatch):
+    import jax
+
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    monkeypatch.setenv("E3DIFF_COMPILE_CACHE", "0")
+    assert enable_persistent_compilation_cache() is None
+
+    target = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("E3DIFF_COMPILE_CACHE", target)
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_persistent_compilation_cache() == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -253,3 +254,25 @@ def test_mesh_sharded_sampling_matches_single_device():
     sharded, _ = sampler(params, sharded_batch, key)
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                atol=1e-4)
+
+
+def test_distribute_batch_rejects_unpadded_uneven(monkeypatch):
+    """With a mocked 4-process world, an unpadded local batch (rows !=
+    host_batch_rows(n)) must raise loudly instead of reaching
+    make_array_from_process_local_data with divergent global shapes."""
+    import jax
+
+    from e3diff_tpu.parallel import multihost
+
+    mesh = make_mesh(dp=8, tp=1)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+
+    local = {k: np.asarray(v)[:16] for k, v in _batch(16).items()}
+    with pytest.raises(ValueError, match="pad_local_batch"):
+        multihost.distribute_batch(local, mesh, global_rows=67)
+
+    # inconsistent per-key row counts are rejected too
+    bad = dict(local)
+    bad["ligand_angles"] = bad["ligand_angles"][:8]
+    with pytest.raises(ValueError, match="inconsistent"):
+        multihost.distribute_batch(bad, mesh)

@@ -144,3 +144,48 @@ def test_fused_loss_matches_per_channel():
             for i in range(8)]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-7, rtol=1e-6)
+
+
+def test_fused_loss_bf16_inputs_match_f32():
+    """Loss arithmetic must run in f32 even for bf16 model outputs: the
+    masked-mean denominator rounded in bf16 skews every channel ~0.1%
+    (round-2 review finding). Quantize inputs to bf16 both ways so the
+    only possible divergence is the reduction dtype."""
+    from e3diff_tpu.training.structure import structure_loss_terms
+
+    rng = np.random.default_rng(5)
+    b, l = 64, 128  # large enough that a bf16 denominator actually rounds
+    pred = jnp.asarray(rng.normal(size=(b, l, 8)) * 2, jnp.bfloat16)
+    known = jnp.asarray(rng.uniform(-np.pi, np.pi, (b, l, 8)), jnp.bfloat16)
+    mask = (rng.uniform(size=(b, l)) < 0.8).astype(np.float32)
+    assert float(mask.sum()) > 4096  # past bf16 integer exactness
+
+    got = structure_loss_terms(pred, known, jnp.asarray(mask, jnp.bfloat16))
+    want = structure_loss_terms(pred.astype(jnp.float32),
+                                known.astype(jnp.float32),
+                                jnp.asarray(mask))
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_sequence_losses_bf16_logits_match_f32():
+    from e3diff_tpu.training.sequence import sequence_losses
+
+    rng = np.random.default_rng(6)
+    b, l, k = 64, 64, 20
+    logits = rng.normal(size=(b, l, k)).astype(np.float32) * 3
+    logits_bf16 = jnp.asarray(logits, jnp.bfloat16)
+    seq = np.eye(k, dtype=np.float32)[rng.integers(0, k, (b, l))]
+    noised = np.eye(k, dtype=np.float32)[rng.integers(0, k, (b, l))]
+    mask = (rng.uniform(size=(b, l)) < 0.9).astype(np.float32)
+
+    got, gm = sequence_losses(logits_bf16, jnp.asarray(noised),
+                              jnp.asarray(seq), jnp.asarray(mask))
+    want, wm = sequence_losses(logits_bf16.astype(jnp.float32),
+                               jnp.asarray(noised), jnp.asarray(seq),
+                               jnp.asarray(mask))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for key in gm:
+        np.testing.assert_allclose(
+            float(gm[key]), float(wm[key]), rtol=1e-5, err_msg=key)

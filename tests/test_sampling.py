@@ -162,3 +162,43 @@ def test_full_pipeline(tmp_path):
     assert len(ok) >= 4  # NaN guard may occasionally skip one
     text = open(ok[0]).read()
     assert text.startswith("ATOM")
+
+
+def test_jit_sampler_cache_reuse_and_lru():
+    from e3diff_tpu.utils.jit_cache import JitSamplerCache
+
+    cache = JitSamplerCache(maxsize=2)
+    m1, m2, m3 = object(), object(), object()
+    cache.put(("a",), "fn1", m1)
+    assert cache.get(("a",), m1) == "fn1"
+    # identity revalidation: same key, different pinned object -> miss
+    assert cache.get(("a",), m2) is None
+    cache.put(("b",), "fn2", m2)
+    cache.get(("a",), m1)  # touch a so b is LRU
+    cache.put(("c",), "fn3", m3)  # evicts b
+    assert cache.get(("b",), m2) is None
+    assert cache.get(("a",), m1) == "fn1"
+    assert cache.get(("c",), m3) == "fn3"
+
+
+def test_make_structure_sampler_cache_hit():
+    """Same (model, diffusion, flags) must return the SAME compiled
+    callable (a fresh closure would repay a full remote recompile)."""
+    from e3diff_tpu.diffusion import GaussianAngleDiffusion
+    from e3diff_tpu.models import StructureDenoiser, TransformerConfig
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    cfg = TransformerConfig(hidden_size=32, num_heads=2, num_layers=1,
+                            intermediate_size=48,
+                            max_position_embeddings=8)
+    ccfg = TransformerConfig(hidden_size=32, num_heads=2, num_layers=1,
+                             intermediate_size=48,
+                             max_position_embeddings=8,
+                             add_cross_attention=True)
+    model = StructureDenoiser(cfg, ccfg)
+    diff = GaussianAngleDiffusion.cosine(4)
+    s1 = make_structure_sampler(model, diff, return_trajectory=False)
+    s2 = make_structure_sampler(model, diff, return_trajectory=False)
+    assert s1 is s2
+    s3 = make_structure_sampler(model, diff, return_trajectory=True)
+    assert s3 is not s1

@@ -185,3 +185,16 @@ def test_sequence_export_betas_buffer_matches_reference():
     ref_model = _reference_peptide_diff()
     want = ref_model.state_dict()["discrete_noise_schedule.betas"].numpy()
     np.testing.assert_array_equal(sd["discrete_noise_schedule.betas"], want)
+
+
+def test_structure_export_accepts_scan_layout():
+    """Exporting scan_layers params (keys 'layers'/'layer', leading layer
+    axis) must equal the per-layer export — not IndexError (r2 review)."""
+    from e3diff_tpu.models.restack import params_to_scan
+
+    _, params, _ = _structure_params()
+    want = export_structure_state_dict(params)
+    got = export_structure_state_dict(params_to_scan(params))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
