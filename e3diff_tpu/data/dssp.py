@@ -1,0 +1,344 @@
+"""Pure-numpy DSSP: Kabsch-Sander hydrogen bonds, secondary structure,
+and solvent accessibility.
+
+The reference preprocessing shells out to the external ``dssp`` binary via
+Biopython (clean_data/data_preprocessing.py:746-769) for per-residue
+(amino acid, 8-class secondary structure, relative ASA, 4 best H-bond
+(relidx, energy) pairs). This module reimplements that feature set from
+the published Kabsch-Sander algorithm (Biopolymers 22:2577, 1983) so
+preprocessing runs in environments without Biopython/DSSP.
+
+Faithful parts:
+* amide H placement 1 A from N along the previous residue's C=O vector;
+* electrostatic H-bond energy E = 0.084*332*(1/d_ON + 1/d_CH - 1/d_OH -
+  1/d_CN) kcal/mol, clamped at -9.9, bond iff E < -0.5;
+* per-residue two best donor/acceptor partners (the NH_O_1/2, O_NH_1/2
+  output columns);
+* n-turns (3,4,5), helices H/G/I from two consecutive n-turns,
+  parallel/antiparallel bridges with the paper's bond patterns, T turns,
+  S bends (kappa > 70 deg);
+* chain breaks where |C(i)-N(i+1)| > 2.5 A, PRO donates no H-bond.
+
+Documented deviations from the mkdssp executable (which cannot run here):
+* beta-bulge ladder merging is not applied (a bulge-linked sheet shows as
+  two ladders -> affects only B/E labels at bulges);
+* PI/poly-proline tie-break subtleties of modern mkdssp versions are not
+  reproduced; priority is H, E, B, G, I, T, S over unassigned;
+* accessibility uses Shrake-Rupley sampling (256 sphere points) with the
+  DSSP atom radii + 1.4 A probe instead of DSSP's slice integration, and
+  relative ASA divides by the Sander maxima (the table Biopython's DSSP
+  wrapper uses by default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+Q1Q2_F = 0.084 * 332.0   # kcal*A/mol, Kabsch-Sander electrostatic factor
+E_CLAMP = -9.9
+HBOND_E = -0.5
+CA_CUTOFF = 9.0
+CHAIN_BREAK_CN = 2.5
+PROBE = 1.4
+N_SPHERE_POINTS = 256
+
+# DSSP atom radii (backbone by name, side chains by element)
+_BACKBONE_RADII = {"N": 1.65, "CA": 1.87, "C": 1.76, "O": 1.40}
+_ELEMENT_RADII = {"C": 1.80, "N": 1.65, "O": 1.40, "S": 1.85, "P": 1.80}
+
+# Sander & Rost maximal accessibilities (A^2) — same table Biopython's
+# DSSP wrapper divides by for relative ASA.
+SANDER_MAX_ACC = {
+    "ALA": 106.0, "ARG": 248.0, "ASN": 157.0, "ASP": 163.0, "CYS": 135.0,
+    "GLN": 198.0, "GLU": 194.0, "GLY": 84.0, "HIS": 184.0, "ILE": 169.0,
+    "LEU": 164.0, "LYS": 205.0, "MET": 188.0, "PHE": 197.0, "PRO": 136.0,
+    "SER": 130.0, "THR": 142.0, "TRP": 227.0, "TYR": 222.0, "VAL": 142.0,
+    "MSE": 188.0,
+}
+
+
+@dataclasses.dataclass
+class _Entry:
+    chain_id: str
+    res: object          # NativeResidue (or any residue duck-type)
+    n: np.ndarray
+    ca: np.ndarray
+    c: np.ndarray
+    o: np.ndarray
+    h: np.ndarray | None = None            # amide H (None: chain start/PRO)
+    connected_prev: bool = False
+
+
+def _flatten(chains: dict) -> list[_Entry]:
+    entries = []
+    for chain_id, residues in chains.items():
+        for res in residues:
+            if all(a in res for a in ("N", "CA", "C", "O")):
+                entries.append(_Entry(
+                    chain_id, res,
+                    *(np.asarray(res[a].get_coord(), np.float64)
+                      for a in ("N", "CA", "C", "O"))))
+    return entries
+
+
+def _mark_connectivity(entries: list[_Entry]) -> None:
+    for i in range(1, len(entries)):
+        prev, cur = entries[i - 1], entries[i]
+        cur.connected_prev = (
+            prev.chain_id == cur.chain_id
+            and float(np.linalg.norm(cur.n - prev.c)) < CHAIN_BREAK_CN)
+        if cur.connected_prev and getattr(cur.res, "resname", "") != "PRO":
+            co = prev.c - prev.o
+            cur.h = cur.n + co / np.linalg.norm(co)
+
+
+def _hbond_energy(donor: _Entry, acceptor: _Entry) -> float:
+    """E for NH(donor) ... O=C(acceptor); 0.0 when no H (PRO/chain start)."""
+    if donor.h is None:
+        return 0.0
+    d_on = np.linalg.norm(acceptor.o - donor.n)
+    d_ch = np.linalg.norm(acceptor.c - donor.h)
+    d_oh = np.linalg.norm(acceptor.o - donor.h)
+    d_cn = np.linalg.norm(acceptor.c - donor.n)
+    if min(d_on, d_ch, d_oh, d_cn) < 0.5:
+        return E_CLAMP
+    e = Q1Q2_F * (1.0 / d_on + 1.0 / d_ch - 1.0 / d_oh - 1.0 / d_cn)
+    return max(e, E_CLAMP)
+
+
+def _best_two(partners: list[tuple[int, float]]):
+    """Two lowest-energy (index, E) pairs with E < 0, padded with (None, 0)."""
+    neg = sorted((p for p in partners if p[1] < 0.0), key=lambda p: p[1])
+    out = neg[:2]
+    while len(out) < 2:
+        out.append((None, 0.0))
+    return out
+
+
+def compute_hbonds(entries: list[_Entry]):
+    """Returns (acceptors, donors): per residue i, the two best
+    (j, energy) pairs where i's NH donates to j's CO (acceptors) and
+    where i's CO accepts from j's NH (donors)."""
+    n = len(entries)
+    ca = np.stack([e.ca for e in entries]) if n else np.zeros((0, 3))
+    nh_to = [[] for _ in range(n)]   # i donates to j
+    co_from = [[] for _ in range(n)]  # i accepts from j
+    for i in range(n):
+        if n - i - 1 <= 0:
+            continue
+        d = np.linalg.norm(ca[i + 1:] - ca[i], axis=1)
+        for off in np.nonzero(d < CA_CUTOFF)[0]:
+            j = i + 1 + int(off)
+            e_ij = _hbond_energy(entries[i], entries[j])  # NH(i) -> CO(j)
+            if e_ij < 0.0:
+                nh_to[i].append((j, e_ij))
+                co_from[j].append((i, e_ij))
+            if j == i + 1:
+                continue  # NH(i+1)/CO(i) are peptide-bonded, never an H-bond
+            e_ji = _hbond_energy(entries[j], entries[i])  # NH(j) -> CO(i)
+            if e_ji < 0.0:
+                nh_to[j].append((i, e_ji))
+                co_from[i].append((j, e_ji))
+    acceptors = [_best_two(p) for p in nh_to]
+    donors = [_best_two(p) for p in co_from]
+    return acceptors, donors
+
+
+def _make_testbond(acceptors):
+    def test(donor: int, acceptor: int) -> bool:
+        """True iff NH(donor) ... CO(acceptor) is a stored bond < -0.5."""
+        return any(j == acceptor and e < HBOND_E
+                   for j, e in acceptors[donor])
+    return test
+
+
+def _no_break(entries, i, j) -> bool:
+    return all(entries[k].connected_prev for k in range(i + 1, j + 1))
+
+
+def assign_secondary_structure(entries: list[_Entry], acceptors) -> list[str]:
+    n = len(entries)
+    test = _make_testbond(acceptors)
+
+    # n-turns: CO(i) ... NH(i+stride)
+    turns = {s: [False] * n for s in (3, 4, 5)}
+    for s in (3, 4, 5):
+        for i in range(n - s):
+            if _no_break(entries, i, i + s) and test(i + s, i):
+                turns[s][i] = True
+
+    helix = {s: [False] * n for s in (3, 4, 5)}
+    for s in (3, 4, 5):
+        for i in range(1, n - s):
+            if turns[s][i - 1] and turns[s][i]:
+                for k in range(i, i + s):
+                    helix[s][k] = True
+
+    # bridges (paper definitions; HB(a, b) = CO(a) accepts from NH(b))
+    def hb(a, b):
+        return 0 <= a < n and 0 <= b < n and test(b, a)
+
+    # candidate (i, j) pairs from stored bonds only — every bridge pattern
+    # uses a bond inside {i-1,i,i+1} x {j-1,j,j+1}, so this is exhaustive
+    # while keeping the scan linear in the number of H-bonds
+    cand = set()
+    for d in range(n):
+        for a_, e in acceptors[d]:
+            if a_ is None or e >= HBOND_E:
+                continue
+            for i in (d - 1, d, d + 1):
+                for j in (a_ - 1, a_, a_ + 1):
+                    lo, hi = (i, j) if i < j else (j, i)
+                    if hi - lo >= 3 and lo >= 1 and hi < n - 1:
+                        cand.add((lo, hi))
+
+    bridges = {}  # (i, j) -> 'P' | 'A', i < j
+    for (i, j) in sorted(cand):
+        para = ((hb(i - 1, j) and hb(j, i + 1))
+                or (hb(j - 1, i) and hb(i, j + 1)))
+        anti = ((hb(i, j) and hb(j, i))
+                or (hb(i - 1, j + 1) and hb(j - 1, i + 1)))
+        if para or anti:
+            bridges[(i, j)] = "P" if para else "A"
+
+    # ladders: consecutive bridges of the same type
+    in_ladder = set()
+    for (i, j), t in bridges.items():
+        prev = (i - 1, j - 1) if t == "P" else (i - 1, j + 1)
+        nxt = (i + 1, j + 1) if t == "P" else (i + 1, j - 1)
+        if bridges.get((min(prev), max(prev))) == t or \
+           bridges.get((min(nxt), max(nxt))) == t:
+            in_ladder.add((i, j))
+
+    ss = ["-"] * n
+
+    def put(k, c):
+        if 0 <= k < n and ss[k] == "-":
+            ss[k] = c
+
+    for i in range(n):              # H first (highest priority)
+        if helix[4][i]:
+            ss[i] = "H"
+    for (i, j) in bridges:          # E (ladders), then isolated B
+        if (i, j) in in_ladder:
+            put(i, "E"), put(j, "E")
+    for (i, j) in bridges:
+        if (i, j) not in in_ladder:
+            put(i, "B"), put(j, "B")
+    for i in range(n):
+        if helix[3][i]:
+            put(i, "G")
+    for i in range(n):
+        if helix[5][i]:
+            put(i, "I")
+    for s in (3, 4, 5):             # T: interior of any n-turn
+        for i in range(n - s):
+            if turns[s][i]:
+                for k in range(i + 1, i + s):
+                    put(k, "T")
+    for i in range(2, n - 2):       # S: bend, kappa > 70 deg
+        if _no_break(entries, i - 2, i + 2):
+            u = entries[i].ca - entries[i - 2].ca
+            v = entries[i + 2].ca - entries[i].ca
+            cosk = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+            if np.degrees(np.arccos(np.clip(cosk, -1, 1))) > 70.0:
+                put(i, "S")
+    return ss
+
+
+# ---------------------------------------------------------------------------
+# Solvent accessibility (Shrake-Rupley)
+# ---------------------------------------------------------------------------
+
+def _fibonacci_sphere(k: int) -> np.ndarray:
+    i = np.arange(k, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / k)
+    theta = np.pi * (1 + 5 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi),
+                     np.cos(phi)], axis=1)
+
+
+def _atom_radius(name: str, element: str) -> float:
+    if name in _BACKBONE_RADII:
+        return _BACKBONE_RADII[name]
+    return _ELEMENT_RADII.get(element.upper()[:1], 1.80)
+
+
+def shrake_rupley_asa(chains: dict, n_points: int = N_SPHERE_POINTS) -> dict:
+    """Per-residue solvent-accessible surface area (A^2) over ALL atoms in
+    the structure (hydrogens excluded, as in DSSP). Returns
+    {id(residue): asa}."""
+    coords, radii, owner = [], [], []
+    residues = []
+    for residues_in_chain in chains.values():
+        for res in residues_in_chain:
+            ridx = len(residues)
+            residues.append(res)
+            for atom in res.atoms.values():
+                if atom.element.upper().startswith("H"):
+                    continue
+                coords.append(np.asarray(atom.get_coord(), np.float64))
+                radii.append(_atom_radius(atom.name, atom.element) + PROBE)
+                owner.append(ridx)
+    if not coords:
+        return {}
+    coords = np.stack(coords)
+    radii = np.asarray(radii)
+    owner = np.asarray(owner)
+    sphere = _fibonacci_sphere(n_points)
+
+    asa_per_res = np.zeros(len(residues))
+    for a in range(len(coords)):
+        d = np.linalg.norm(coords - coords[a], axis=1)
+        touch = (d < radii + radii[a]) & (d > 0)
+        neigh_c = coords[touch]
+        neigh_r = radii[touch]
+        pts = coords[a] + radii[a] * sphere
+        if len(neigh_c):
+            d2 = ((pts[:, None, :] - neigh_c[None, :, :]) ** 2).sum(-1)
+            buried = (d2 < (neigh_r ** 2)[None, :]).any(1)
+            frac = 1.0 - buried.mean()
+        else:
+            frac = 1.0
+        asa_per_res[owner[a]] += frac * 4.0 * np.pi * radii[a] ** 2
+    return {id(res): asa_per_res[i] for i, res in enumerate(residues)}
+
+
+# ---------------------------------------------------------------------------
+# Feature assembly in the extract_dssp_features schema
+# ---------------------------------------------------------------------------
+
+def native_dssp_features(chains: dict) -> dict:
+    """Per-chain feature dicts matching preprocessing.extract_dssp_features
+    (same keys, same order); 'res' holds the duck-typed residue."""
+    entries = _flatten(chains)
+    _mark_connectivity(entries)
+    acceptors, donors = compute_hbonds(entries)
+    ss = assign_secondary_structure(entries, acceptors)
+    asa = shrake_rupley_asa(chains)
+
+    def relidx(i, pair):
+        j, e = pair
+        return (0, 0.0) if j is None else (j - i, round(float(e), 1))
+
+    features: dict = {}
+    for i, entry in enumerate(entries):
+        res = entry.res
+        (a1_r, a1_e), (a2_r, a2_e) = (relidx(i, p) for p in acceptors[i])
+        (d1_r, d1_e), (d2_r, d2_e) = (relidx(i, p) for p in donors[i])
+        max_acc = SANDER_MAX_ACC.get(getattr(res, "resname", ""), 200.0)
+        features.setdefault(entry.chain_id, []).append({
+            "res": res,
+            "alpha_carbon_coord": [float(x) for x in entry.ca],
+            "amino_acid": getattr(res, "one_letter", "X"),
+            "secondary_structure": ss[i],
+            "relative_ASA": min(asa.get(id(res), 0.0) / max_acc, 1.0),
+            "NH_O_1_relidx": a1_r, "NH_O_1_energy": a1_e,
+            "O_NH_1_relidx": d1_r, "O_NH_1_energy": d1_e,
+            "NH_O_2_relidx": a2_r, "NH_O_2_energy": a2_e,
+            "O_NH_2_relidx": d2_r, "O_NH_2_energy": d2_e,
+        })
+    return features

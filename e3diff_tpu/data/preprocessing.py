@@ -175,15 +175,32 @@ def filter_records(parsed: list) -> list[dict]:
 # Biopython/DSSP-dependent parsing (import-gated)
 # ---------------------------------------------------------------------------
 
-def requires_biopython():
+def has_biopython() -> bool:
     try:
         import Bio  # noqa: F401
-    except ImportError as e:
+        return True
+    except ImportError:
+        return False
+
+
+def requires_biopython():
+    if not has_biopython():
         raise ImportError(
-            "BioLiP preprocessing needs biopython (+ a dssp binary on "
-            "PATH). The cleaned dataset is a cacheable artifact — run "
-            "preprocessing once in an environment that has them, or load "
-            "an existing biolip.pt / native pickle.") from e
+            "This path needs biopython (+ a dssp binary on PATH). Use "
+            "engine='native' (pure-numpy PDB parser + Kabsch-Sander DSSP, "
+            "data/native_structure.py + data/dssp.py) for .pdb inputs, or "
+            "run preprocessing once in an environment that has biopython "
+            "and load the cached biolip.pt / native pickle.")
+
+
+def resolve_engine(engine: str = "auto") -> str:
+    """'auto' prefers biopython (external-DSSP parity) when importable,
+    else the built-in native engine."""
+    if engine == "auto":
+        return "biopython" if has_biopython() else "native"
+    if engine not in ("biopython", "native"):
+        raise ValueError(f"unknown engine {engine!r}")
+    return engine
 
 
 def _residue_coord_dicts(residues) -> list[dict]:
@@ -230,29 +247,44 @@ def extract_dssp_features(structure, file_path) -> dict:
     return features
 
 
-def parse_record(record, structure_folder: str):
+def parse_record(record, structure_folder: str, engine: str = "auto"):
     """Parse one BioLiP row -> [structure_ids, features-or-error]
-    (reference parse_by_record :776-831)."""
+    (reference parse_by_record :776-831).
+
+    engine='biopython' reproduces the reference exactly (external dssp);
+    engine='native' uses the dependency-free PDB parser + Kabsch-Sander
+    DSSP (.pdb inputs only); 'auto' picks biopython when available."""
     structure_ids = {
         "pdb_id": record.pdb_id,
         "receptor_chain": record.receptor_chain,
         "ligand_chain": record.ligand_chain,
     }
     try:
-        requires_biopython()
-        from Bio.PDB import MMCIFParser, PDBParser
-
+        engine = resolve_engine(engine)
         pdb_path = os.path.join(structure_folder, f"{record.pdb_id}.pdb")
         cif_path = os.path.join(structure_folder, f"{record.pdb_id}.cif")
-        if os.path.exists(pdb_path):
-            file_path, parser = pdb_path, PDBParser(QUIET=True)
-        elif os.path.exists(cif_path):
-            file_path, parser = cif_path, MMCIFParser(QUIET=True)
-        else:
-            raise FileNotFoundError(f"no structure for {record.pdb_id}")
-        structure = parser.get_structure("87", file_path)[0]
 
-        features = extract_dssp_features(structure, file_path)
+        if engine == "native":
+            from e3diff_tpu.data.dssp import native_dssp_features
+            from e3diff_tpu.data.native_structure import parse_pdb_chains
+
+            if not os.path.exists(pdb_path):
+                raise FileNotFoundError(
+                    f"no .pdb structure for {record.pdb_id} "
+                    "(the native engine does not read mmCIF)")
+            features = native_dssp_features(parse_pdb_chains(pdb_path))
+        else:
+            requires_biopython()
+            from Bio.PDB import MMCIFParser, PDBParser
+
+            if os.path.exists(pdb_path):
+                file_path, parser = pdb_path, PDBParser(QUIET=True)
+            elif os.path.exists(cif_path):
+                file_path, parser = cif_path, MMCIFParser(QUIET=True)
+            else:
+                raise FileNotFoundError(f"no structure for {record.pdb_id}")
+            structure = parser.get_structure("87", file_path)[0]
+            features = extract_dssp_features(structure, file_path)
         for chain_id in [record.receptor_chain, record.ligand_chain]:
             chain = features[chain_id]
             coords = _residue_coord_dicts([r["res"] for r in chain])
@@ -297,7 +329,8 @@ def parse_record(record, structure_folder: str):
 
 
 def run_preprocessing(meta_file: str, structure_folder: str,
-                      output_file: str, workers: int = 16) -> list[dict]:
+                      output_file: str, workers: int = 16,
+                      engine: str = "auto") -> list[dict]:
     """Full pipeline: TSV -> parallel parse -> filter -> save
     (reference __main__ :909-921)."""
     import multiprocessing as mp
@@ -306,7 +339,7 @@ def run_preprocessing(meta_file: str, structure_folder: str,
 
     from e3diff_tpu.data.dataset import save_complexes
 
-    requires_biopython()
+    engine = resolve_engine(engine)
     complexes = pd.read_csv(meta_file, sep="\t", names=BIOLIP_META_HEADER)
     complexes.drop_duplicates(subset="pdb_id", inplace=True)
     complexes.reset_index(drop=True, inplace=True)
@@ -316,9 +349,9 @@ def run_preprocessing(meta_file: str, structure_folder: str,
     if workers > 1:
         with mp.Pool(workers) as pool:
             parsed = pool.starmap(
-                parse_record, [(r, structure_folder) for r in rows])
+                parse_record, [(r, structure_folder, engine) for r in rows])
     else:
-        parsed = [parse_record(r, structure_folder) for r in rows]
+        parsed = [parse_record(r, structure_folder, engine) for r in rows]
 
     records = filter_records(parsed)
     save_complexes(records, output_file)

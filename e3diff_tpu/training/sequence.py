@@ -86,7 +86,8 @@ class SequenceTrainer:
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_seq"].shape[0]
-        params = self.model.init(
+        # jit: eager init is dispatch-bound through the remote tunnel
+        params = jax.jit(self.model.init)(
             rng,
             jnp.zeros((b, 1), jnp.float32),
             jnp.asarray(sample_batch["ligand_seq"]),

@@ -84,7 +84,10 @@ class StructureTrainer:
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_angles"].shape[:2]
-        params = self.model.init(
+        # jit the init: eager flax init dispatches op-by-op, which costs
+        # ~107 s for the 146M model through the remote-TPU tunnel (25 ms
+        # RTT per call); one compiled program halves it and is cacheable
+        params = jax.jit(self.model.init)(
             rng,
             jnp.zeros((b[0],), jnp.int32),
             jnp.asarray(sample_batch["ligand_angles"]),

@@ -1,8 +1,13 @@
 """BioLiP preprocessing CLI — equivalent of clean_data/data_preprocessing.py.
 
-Needs biopython + a dssp binary (host-side only; see
-e3diff_tpu/data/preprocessing.py). The output pickle feeds every other
-script via --data_file.
+Two engines (host-side only; see e3diff_tpu/data/preprocessing.py):
+* biopython — Biopython parsing + the external dssp binary, exactly the
+  reference pipeline (reads .pdb and .cif);
+* native — the built-in dependency-free PDB parser + Kabsch-Sander DSSP
+  (data/native_structure.py + data/dssp.py; .pdb only).
+--engine auto (default) picks biopython when importable.
+
+The output pickle feeds every other script via --data_file.
 """
 
 import argparse
@@ -13,9 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def check_env() -> int:
-    """Probe the host for the external preprocessing deps (biopython, a dssp
-    binary, pandas) and report what's missing. Returns a shell exit code so
-    CI / setup scripts can gate on it."""
+    """Probe the host for preprocessing deps and report which engine will
+    run. Returns a shell exit code so CI / setup scripts can gate on it."""
     import shutil
 
     probes = []
@@ -33,28 +37,41 @@ def check_env() -> int:
     except ImportError as e:
         probes.append(("pandas", False, str(e)))
 
-    ok = True
+    full = True
     for name, present, detail in probes:
         print(f"{'ok  ' if present else 'MISS'} {name}: {detail}")
-        ok = ok and present
-    if not ok:
-        print("\npreprocessing cannot run here. Produce biolip.pt on a host "
-              "with the deps (see README 'Real data') and convert it with "
-              "scripts/convert_data.py; every CLI then takes the converted "
-              "file via --data_file.")
-    return 0 if ok else 1
+        full = full and present
+
+    pandas_ok = probes[-1][1]
+    if full:
+        print("\nengine=auto will use biopython (reference-exact, "
+              ".pdb + .cif).")
+        return 0
+    if pandas_ok:
+        print("\nbiopython/dssp missing: engine=auto falls back to the "
+              "built-in native engine (pure-numpy PDB parser + "
+              "Kabsch-Sander DSSP; .pdb inputs only — see "
+              "e3diff_tpu/data/dssp.py for documented deviations from "
+              "the external dssp binary).")
+        return 0
+    print("\npreprocessing cannot run here (pandas missing). Produce "
+          "biolip.pt on a host with the deps (see README 'Real data') "
+          "and convert it with scripts/convert_data.py.")
+    return 1
 
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--check-env", action="store_true",
-                        help="probe for biopython/dssp/pandas and exit")
+                        help="probe deps, report the engine, and exit")
     parser.add_argument("--meta_file",
                         help="BioLiP metadata TSV (BioLiP.txt)")
     parser.add_argument("--structure_folder",
                         help="folder of {pdb_id}.pdb / {pdb_id}.cif files")
     parser.add_argument("--output", default="./data/biolip.pkl")
     parser.add_argument("--workers", type=int, default=16)
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "biopython", "native"])
     args = parser.parse_args()
 
     if args.check_env:
@@ -66,7 +83,8 @@ def main():
     from e3diff_tpu.data.preprocessing import run_preprocessing
 
     records = run_preprocessing(args.meta_file, args.structure_folder,
-                                args.output, workers=args.workers)
+                                args.output, workers=args.workers,
+                                engine=args.engine)
     print(f"wrote {len(records)} complexes to {args.output}")
 
 

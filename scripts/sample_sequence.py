@@ -41,8 +41,9 @@ def load_params(ckpt_path: str, model, sample_batch, rng):
     from e3diff_tpu.training.checkpoint import CheckpointManager
 
     b = sample_batch["ligand_seq"].shape[0]
-    abstract = model.init(
-        rng, jnp.zeros((b, 1)),
+    # eval_shape: restore needs only the abstract tree, not a real init
+    abstract = jax.eval_shape(
+        model.init, rng, jnp.zeros((b, 1)),
         jnp.asarray(sample_batch["ligand_seq"]),
         jnp.asarray(sample_batch["ligand_angles"]),
         jnp.asarray(sample_batch["ligand_attn_mask"]),

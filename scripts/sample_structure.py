@@ -46,8 +46,10 @@ def load_params(ckpt_path: str, model, sample_batch, rng):
     from e3diff_tpu.training.checkpoint import CheckpointManager
 
     b = sample_batch["ligand_angles"].shape[0]
-    abstract = model.init(
-        rng, jnp.zeros((b,), jnp.int32),
+    # checkpoint restore only needs the abstract tree: eval_shape traces
+    # without computing (a real init costs ~2 min of tunnel dispatch)
+    abstract = jax.eval_shape(
+        model.init, rng, jnp.zeros((b,), jnp.int32),
         jnp.asarray(sample_batch["ligand_angles"]),
         jnp.asarray(sample_batch["ligand_attn_mask"]),
         jnp.asarray(sample_batch["receptor_seq"]),
