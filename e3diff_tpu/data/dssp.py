@@ -120,8 +120,22 @@ def _best_two(partners: list[tuple[int, float]]):
 def compute_hbonds(entries: list[_Entry]):
     """Returns (acceptors, donors): per residue i, the two best
     (j, energy) pairs where i's NH donates to j's CO (acceptors) and
-    where i's CO accepts from j's NH (donors)."""
+    where i's CO accepts from j's NH (donors).
+
+    The O(n^2) pair scan runs in the C++ kernel when available
+    (native/dssp_core.cpp, same enumeration order, energies within fp
+    noise); this numpy loop is the reference implementation and the
+    fallback."""
     n = len(entries)
+    bonds = _hbond_scan_native(entries)
+    if bonds is not None:
+        nh_to = [[] for _ in range(n)]
+        co_from = [[] for _ in range(n)]
+        for d, a, e in bonds:
+            nh_to[d].append((a, e))
+            co_from[a].append((d, e))
+        return ([_best_two(p) for p in nh_to],
+                [_best_two(p) for p in co_from])
     ca = np.stack([e.ca for e in entries]) if n else np.zeros((0, 3))
     nh_to = [[] for _ in range(n)]   # i donates to j
     co_from = [[] for _ in range(n)]  # i accepts from j
@@ -144,6 +158,37 @@ def compute_hbonds(entries: list[_Entry]):
     acceptors = [_best_two(p) for p in nh_to]
     donors = [_best_two(p) for p in co_from]
     return acceptors, donors
+
+
+def _hbond_scan_native(entries: list[_Entry]):
+    """(donor, acceptor, energy) triples from the C++ kernel in the numpy
+    loop's append order, or None when the library is unavailable."""
+    from e3diff_tpu.native import as_f64, as_u8, load_native_lib
+
+    lib = load_native_lib()
+    n = len(entries)
+    if lib is None or n == 0:
+        return None if lib is None else []
+    zero = np.zeros(3)
+    n_k, n_p = as_f64(np.stack([e.n for e in entries]))
+    ca_k, ca_p = as_f64(np.stack([e.ca for e in entries]))
+    c_k, c_p = as_f64(np.stack([e.c for e in entries]))
+    o_k, o_p = as_f64(np.stack([e.o for e in entries]))
+    h_k, h_p = as_f64(np.stack(
+        [e.h if e.h is not None else zero for e in entries]))
+    hh_k, hh_p = as_u8([e.h is not None for e in entries])
+    cap = max(16 * n, 64)
+    while True:
+        from e3diff_tpu.native import as_i32
+        don_k, don_p = as_i32(np.empty(cap, np.int32))
+        acc_k, acc_p = as_i32(np.empty(cap, np.int32))
+        e_k, e_p = as_f64(np.empty(cap))
+        count = lib.ks_hbond_scan(n_p, ca_p, c_p, o_p, h_p, hh_p, n,
+                                  don_p, acc_p, e_p, cap)
+        if count >= 0:
+            return [(int(don_k[i]), int(acc_k[i]), float(e_k[i]))
+                    for i in range(count)]
+        cap *= 4
 
 
 def _make_testbond(acceptors):
@@ -267,6 +312,25 @@ def _atom_radius(name: str, element: str) -> float:
     return _ELEMENT_RADII.get(element.upper()[:1], 1.80)
 
 
+def _shrake_rupley_native(coords, radii, owner, sphere, n_res):
+    """Per-residue ASA via the C++ kernel, or None when unavailable.
+    Radii here already include the probe; the kernel integrates the same
+    sphere point set in the same atom order as the numpy loop below."""
+    from e3diff_tpu.native import as_f64, as_i32, load_native_lib
+
+    lib = load_native_lib()
+    if lib is None:
+        return None
+    c_k, c_p = as_f64(coords)
+    r_k, r_p = as_f64(radii)
+    ow_k, ow_p = as_i32(owner)
+    s_k, s_p = as_f64(sphere)
+    out_k, out_p = as_f64(np.zeros(n_res))
+    lib.shrake_rupley(c_p, r_p, ow_p, len(coords), s_p, len(sphere),
+                      out_p, n_res)
+    return out_k
+
+
 def shrake_rupley_asa(chains: dict, n_points: int = N_SPHERE_POINTS) -> dict:
     """Per-residue solvent-accessible surface area (A^2) over ALL atoms in
     the structure (hydrogens excluded, as in DSSP). Returns
@@ -289,6 +353,11 @@ def shrake_rupley_asa(chains: dict, n_points: int = N_SPHERE_POINTS) -> dict:
     radii = np.asarray(radii)
     owner = np.asarray(owner)
     sphere = _fibonacci_sphere(n_points)
+
+    native = _shrake_rupley_native(coords, radii, owner, sphere,
+                                   len(residues))
+    if native is not None:
+        return {id(res): native[i] for i, res in enumerate(residues)}
 
     asa_per_res = np.zeros(len(residues))
     for a in range(len(coords)):
