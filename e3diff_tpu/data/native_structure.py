@@ -7,9 +7,13 @@ parser producing duck-typed residues compatible with the Biopython calls
 the pipeline actually makes (``res.get_id()``, ``res["CA"].get_coord()``,
 ``"O" in res``), so `data/preprocessing.py` runs with either engine.
 
-Scope (documented, deliberate): PDB format only (mmCIF still requires
-Biopython), first MODEL only, highest-priority altloc kept, ATOM records
-plus HETATM MSE (selenomethionine, universally treated as MET).
+Scope (documented, deliberate): PDB and mmCIF formats, first MODEL only,
+highest-priority altloc kept, ATOM records plus HETATM MSE
+(selenomethionine, universally treated as MET). The mmCIF reader covers
+the `_atom_site` loop with auth_* numbering — the same identifiers
+Biopython's MMCIFParser exposes as chain/residue ids — not the full CIF
+grammar (no save frames; multi-line `;` values only outside the atom
+loop, where they are skipped).
 """
 
 from __future__ import annotations
@@ -110,3 +114,116 @@ def parse_pdb_chains(path: str) -> dict:
             if name not in res.atoms:  # first altloc wins
                 res.atoms[name] = NativeAtom(name, coord, element, altloc)
     return chains
+
+
+# ---------------------------------------------------------------------------
+# mmCIF (_atom_site loop)
+# ---------------------------------------------------------------------------
+
+def _cif_tokens(line: str) -> list[str]:
+    """Whitespace-split honoring CIF single/double quoting. A quote ends a
+    quoted value only when followed by whitespace/EOL (CIF rule, so values
+    like O5' survive)."""
+    tokens, i, n = [], 0, len(line)
+    while i < n:
+        while i < n and line[i] in " \t":
+            i += 1
+        if i >= n or line[i] == "#":
+            break
+        if line[i] in "'\"":
+            q, j = line[i], i + 1
+            while j < n and not (line[j] == q
+                                 and (j + 1 >= n or line[j + 1] in " \t")):
+                j += 1
+            tokens.append(line[i + 1:j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and line[j] not in " \t":
+                j += 1
+            tokens.append(line[i:j])
+            i = j
+    return tokens
+
+
+def parse_cif_chains(path: str) -> dict:
+    """Parse an mmCIF (or .cif.gz) `_atom_site` loop ->
+    {auth chain_id: [NativeResidue]} in file order, matching
+    parse_pdb_chains' semantics (first model, first altloc, ATOM +
+    HETATM MSE)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    chains: dict = {}
+    index: dict = {}
+    fields: list[str] = []
+    in_atom_loop = False
+    first_model: str | None = None
+    with opener(path, "rt") as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if not in_atom_loop:
+                stripped = line.strip()
+                if stripped.startswith("_atom_site."):
+                    fields.append(stripped.split()[0][len("_atom_site."):])
+                elif fields:
+                    in_atom_loop = True  # first data row reached
+                else:
+                    continue
+            if in_atom_loop:
+                if line.startswith(("#", "loop_", "_")) or not line.strip():
+                    break  # atom loop over (single loop per file)
+                tok = _cif_tokens(line)
+                if len(tok) < len(fields):
+                    continue
+                row = dict(zip(fields, tok))
+
+                model = row.get("pdbx_PDB_model_num", "1")
+                if first_model is None:
+                    first_model = model
+                elif model != first_model:
+                    break
+                group = row.get("group_PDB", "ATOM")
+                resname = row.get("auth_comp_id",
+                                  row.get("label_comp_id", ""))
+                if group != "ATOM" and not (group == "HETATM"
+                                            and resname == "MSE"):
+                    continue
+                chain_id = row.get("auth_asym_id",
+                                   row.get("label_asym_id", "A"))
+                try:
+                    seq_num = int(row.get("auth_seq_id",
+                                          row.get("label_seq_id", "0")))
+                except ValueError:
+                    continue
+                icode = row.get("pdbx_PDB_ins_code", "?")
+                icode = "" if icode in ("?", ".") else icode
+                name = row.get("auth_atom_id", row.get("label_atom_id", ""))
+                altloc = row.get("label_alt_id", ".")
+                altloc = "" if altloc == "." else altloc
+                element = row.get("type_symbol", "") or name[:1]
+                try:
+                    coord = np.array([float(row["Cartn_x"]),
+                                      float(row["Cartn_y"]),
+                                      float(row["Cartn_z"])],
+                                     dtype=np.float64)
+                except (KeyError, ValueError):
+                    continue
+
+                key = (chain_id, seq_num, icode, resname)
+                res = index.get(key)
+                if res is None:
+                    res = NativeResidue(resname, seq_num, icode, {})
+                    index[key] = res
+                    chains.setdefault(chain_id, []).append(res)
+                if name not in res.atoms:  # first altloc wins
+                    res.atoms[name] = NativeAtom(name, coord, element,
+                                                 altloc)
+    return chains
+
+
+def parse_structure_chains(path: str) -> dict:
+    """Dispatch on extension: .pdb/.ent -> PDB reader, .cif -> mmCIF
+    reader (either may be .gz-compressed)."""
+    base = path[:-3] if path.endswith(".gz") else path
+    if base.endswith(".cif"):
+        return parse_cif_chains(path)
+    return parse_pdb_chains(path)

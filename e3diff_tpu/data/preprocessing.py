@@ -253,7 +253,7 @@ def parse_record(record, structure_folder: str, engine: str = "auto"):
 
     engine='biopython' reproduces the reference exactly (external dssp);
     engine='native' uses the dependency-free PDB parser + Kabsch-Sander
-    DSSP (.pdb inputs only); 'auto' picks biopython when available."""
+    DSSP (.pdb and mmCIF); 'auto' picks biopython when available."""
     structure_ids = {
         "pdb_id": record.pdb_id,
         "receptor_chain": record.receptor_chain,
@@ -266,13 +266,16 @@ def parse_record(record, structure_folder: str, engine: str = "auto"):
 
         if engine == "native":
             from e3diff_tpu.data.dssp import native_dssp_features
-            from e3diff_tpu.data.native_structure import parse_pdb_chains
+            from e3diff_tpu.data.native_structure import (
+                parse_structure_chains)
 
-            if not os.path.exists(pdb_path):
-                raise FileNotFoundError(
-                    f"no .pdb structure for {record.pdb_id} "
-                    "(the native engine does not read mmCIF)")
-            features = native_dssp_features(parse_pdb_chains(pdb_path))
+            if os.path.exists(pdb_path):
+                file_path = pdb_path
+            elif os.path.exists(cif_path):
+                file_path = cif_path
+            else:
+                raise FileNotFoundError(f"no structure for {record.pdb_id}")
+            features = native_dssp_features(parse_structure_chains(file_path))
         else:
             requires_biopython()
             from Bio.PDB import MMCIFParser, PDBParser

@@ -4,7 +4,7 @@ Two engines (host-side only; see e3diff_tpu/data/preprocessing.py):
 * biopython — Biopython parsing + the external dssp binary, exactly the
   reference pipeline (reads .pdb and .cif);
 * native — the built-in dependency-free PDB parser + Kabsch-Sander DSSP
-  (data/native_structure.py + data/dssp.py; .pdb only).
+  (data/native_structure.py + data/dssp.py; .pdb and .cif).
 --engine auto (default) picks biopython when importable.
 
 The output pickle feeds every other script via --data_file.
@@ -50,7 +50,7 @@ def check_env() -> int:
     if pandas_ok:
         print("\nbiopython/dssp missing: engine=auto falls back to the "
               "built-in native engine (pure-numpy PDB parser + "
-              "Kabsch-Sander DSSP; .pdb inputs only — see "
+              "Kabsch-Sander DSSP; .pdb and .cif — see "
               "e3diff_tpu/data/dssp.py for documented deviations from "
               "the external dssp binary).")
         return 0
