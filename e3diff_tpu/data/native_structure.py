@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import warnings
 
 import numpy as np
 
@@ -82,7 +83,9 @@ def _parse_atom_line(line: str):
                       float(line[46:54])], dtype=np.float64)
     element = line[76:78].strip() if len(line) >= 78 else ""
     if not element:
-        element = name[:1]
+        # first alphabetic char: hydrogen names like '1HB2' must still
+        # read as H (ASA excludes hydrogens), not as element '1'
+        element = next((c for c in name if c.isalpha()), "")
     return chain_id, resname, seq_num, icode, name, altloc, coord, element
 
 
@@ -169,10 +172,17 @@ def parse_cif_chains(path: str) -> dict:
                 else:
                     continue
             if in_atom_loop:
-                if line.startswith(("#", "loop_", "_")) or not line.strip():
-                    break  # atom loop over (single loop per file)
+                stripped = line.strip()
+                if not stripped or stripped.startswith("#"):
+                    continue  # blank/comment lines are insignificant in CIF
+                if stripped.startswith(("loop_", "_", "data_")):
+                    break  # a new tag/loop/data block ends the atom loop
                 tok = _cif_tokens(line)
                 if len(tok) < len(fields):
+                    warnings.warn(
+                        f"{path}: _atom_site row with {len(tok)} values "
+                        f"(expected {len(fields)}) skipped — wrapped or "
+                        "malformed row?", stacklevel=2)
                     continue
                 row = dict(zip(fields, tok))
 

@@ -183,21 +183,31 @@ def has_biopython() -> bool:
         return False
 
 
+def find_dssp_binary() -> str | None:
+    """Path of the external mkdssp/dssp executable Biopython's DSSP class
+    shells out to, or None. The biopython engine needs BOTH."""
+    import shutil
+    return shutil.which("mkdssp") or shutil.which("dssp")
+
+
 def requires_biopython():
     if not has_biopython():
         raise ImportError(
             "This path needs biopython (+ a dssp binary on PATH). Use "
-            "engine='native' (pure-numpy PDB parser + Kabsch-Sander DSSP, "
-            "data/native_structure.py + data/dssp.py) for .pdb inputs, or "
-            "run preprocessing once in an environment that has biopython "
-            "and load the cached biolip.pt / native pickle.")
+            "engine='native' (dependency-free PDB/mmCIF parser + "
+            "Kabsch-Sander DSSP, data/native_structure.py + data/dssp.py), "
+            "or run preprocessing once in an environment that has "
+            "biopython and load the cached biolip.pt / native pickle.")
 
 
 def resolve_engine(engine: str = "auto") -> str:
-    """'auto' prefers biopython (external-DSSP parity) when importable,
-    else the built-in native engine."""
+    """'auto' prefers biopython (external-DSSP parity) only when BOTH
+    biopython and the dssp binary are usable — Bio.PDB.DSSP shells out to
+    mkdssp, so biopython alone would fail on every record — else the
+    built-in native engine."""
     if engine == "auto":
-        return "biopython" if has_biopython() else "native"
+        full = has_biopython() and find_dssp_binary() is not None
+        return "biopython" if full else "native"
     if engine not in ("biopython", "native"):
         raise ValueError(f"unknown engine {engine!r}")
     return engine

@@ -101,6 +101,7 @@ class MultiHeadAttention(nn.Module):
 
     config: TransformerConfig
     relative: bool = True
+    is_cross: bool = False
 
     @nn.compact
     def __call__(self, x, kv, extended_mask, *, deterministic: bool = True):
@@ -131,7 +132,10 @@ class MultiHeadAttention(nn.Module):
             distance = (jnp.arange(lq)[:, None] - jnp.arange(lk)[None, :])
             pe = rel(distance + max_pos - 1)  # (Lq, Lk, hd)
 
-        if cfg.self_attention_impl == "blockdiag":
+        # blockdiag is a SELF-attention layout (its win is small Lq*H; at
+        # cross-attention's Lk=64 the H-times-larger score tensor loses —
+        # measured, BENCHMARKS.md), so cross-attention always uses einsum
+        if cfg.self_attention_impl == "blockdiag" and not self.is_cross:
             return self._blockdiag(q, k, v, pe, extended_mask,
                                    deterministic=deterministic)
 
@@ -200,7 +204,8 @@ class AttentionBlock(nn.Module):
     def __call__(self, x, kv, extended_mask, *, deterministic: bool = True):
         cfg = self.config
         is_cross = kv is not None
-        ctx = MultiHeadAttention(cfg, relative=not is_cross, name="self")(
+        ctx = MultiHeadAttention(cfg, relative=not is_cross,
+                                 is_cross=is_cross, name="self")(
             x, kv if is_cross else x, extended_mask, deterministic=deterministic)
         out = make_dense(cfg, cfg.hidden_size, "output_dense", fan_in=cfg.hidden_size)(ctx)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)

@@ -8,7 +8,10 @@ from e3diff_tpu.ops.schedules import (
     cosine_beta_schedule,
     compute_alphas,
     cosine_beta_schedule_discrete,
+    custom_beta_schedule_discrete,
+    cosine_alpha_bar_schedule,
     DiscreteNoiseSchedule,
+    GammaNoiseSchedule,
 )
 from e3diff_tpu.ops.angles import (
     wrap_angle,
@@ -27,7 +30,10 @@ __all__ = [
     "cosine_beta_schedule",
     "compute_alphas",
     "cosine_beta_schedule_discrete",
+    "custom_beta_schedule_discrete",
+    "cosine_alpha_bar_schedule",
     "DiscreteNoiseSchedule",
+    "GammaNoiseSchedule",
     "wrap_angle",
     "radian_l1_loss",
     "radian_smooth_l1_loss",

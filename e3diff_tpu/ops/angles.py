@@ -49,12 +49,16 @@ def radian_l1_loss(input, target, mask=None):
     return _masked_mean(jnp.abs(d), mask)
 
 
-def radian_smooth_l1_loss(input, target, beta: float = 1.0, mask=None):
+def radian_smooth_l1_loss(input, target, beta: float = 1.0,
+                          circle_penalty: float = 0.0, mask=None):
     """Huber loss on the wrapped angular difference.
 
-    Matches radian_smooth_l1_loss (structure_model/utils.py:78-109); the
-    unused circle_penalty branch is dropped (never enabled by the reference
-    training config, train_model.py:94-95 binds only beta=pi/10).
+    Matches radian_smooth_l1_loss (structure_model/utils.py:78-109),
+    including the circle_penalty regularizer on whole turns around the
+    circle, `penalty * mean(trunc(|input| / pi))` — present for parity
+    but never enabled by the reference training config (train_model.py:
+    94-95 binds only beta=pi/10). With `mask`, both terms average only
+    over positions where mask is true.
     """
     assert beta > 0
     input = jnp.asarray(input)
@@ -62,7 +66,11 @@ def radian_smooth_l1_loss(input, target, beta: float = 1.0, mask=None):
     d = wrap_angle(target - input, -np.pi, np.pi)
     abs_d = jnp.abs(d)
     per_elem = jnp.where(abs_d < beta, 0.5 * (d**2) / beta, abs_d - 0.5 * beta)
-    return _masked_mean(per_elem, mask)
+    loss = _masked_mean(per_elem, mask)
+    if circle_penalty > 0:
+        turns = jnp.trunc(jnp.abs(input) / jnp.pi)
+        loss = loss + circle_penalty * _masked_mean(turns, mask)
+    return loss
 
 
 def tolerant_comparison_check(values, cmp: str, v) -> bool:

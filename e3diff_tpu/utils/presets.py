@@ -105,6 +105,13 @@ def add_config_flags(parser, defaults: ExperimentConfig):
 
 
 def config_from_args(args) -> ExperimentConfig:
+    # every jit-running CLI funnels through here, so this is the one spot
+    # that guarantees the persistent compile cache is on (30-340 s remote
+    # compiles otherwise); idempotent, disabled via E3DIFF_COMPILE_CACHE=0
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()
     kw = {f.name: getattr(args, f.name)
           for f in dataclasses.fields(ExperimentConfig)}
     return ExperimentConfig(**kw)

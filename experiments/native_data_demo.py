@@ -1,0 +1,123 @@
+"""Generate a PDB-file corpus for the end-to-end native-data demo.
+
+Writes N pocket/peptide complexes as real .pdb files (backbone rebuilt
+with the NERF oracle from per-residue torsions drawn around natural
+basins) plus the BioLiP-format metadata TSV, so the FULL pipeline can run
+exactly as it would on real data: preprocess.py (native engine, C++ DSSP
+kernels) -> train_structure/train_sequence (TPU) -> run_pipeline.
+
+Unlike data/synthetic.py (random tensors in the dataset schema), these
+complexes pass through actual structure files and the DSSP feature
+extraction, so secondary structure / ASA / H-bond features are physically
+consistent with the angles the models learn.
+
+Usage: python experiments/native_data_demo.py --n 600 --out /tmp/demo_corpus
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e3diff_tpu.geometry.nerf import nerf_build_backbone_np  # noqa: E402
+
+AA20 = "ACDEFGHIKLMNPQRSTVWY"
+ONE_TO_THREE = {
+    "A": "ALA", "C": "CYS", "D": "ASP", "E": "GLU", "F": "PHE",
+    "G": "GLY", "H": "HIS", "I": "ILE", "K": "LYS", "L": "LEU",
+    "M": "MET", "N": "ASN", "P": "PRO", "Q": "GLN", "R": "ARG",
+    "S": "SER", "T": "THR", "V": "VAL", "W": "TRP", "Y": "TYR",
+}
+# (phi, psi) basin centers: alpha helix, beta strand, ppII-ish, left helix
+BASINS = [(-63.0, -43.0), (-120.0, 130.0), (-75.0, 150.0), (57.0, 47.0)]
+BB = [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]
+
+
+def sample_chain_coords(rng, n, helix_bias=0.5):
+    """Per-residue torsions from jittered basins -> (n, 4, 3) coords."""
+    p = np.array([helix_bias, (1 - helix_bias) * 0.6,
+                  (1 - helix_bias) * 0.3, (1 - helix_bias) * 0.1])
+    # runs of one basin (secondary-structure-like segments)
+    basin_idx = []
+    while len(basin_idx) < n:
+        b = rng.choice(4, p=p / p.sum())
+        basin_idx += [b] * int(rng.integers(3, 9))
+    basin_idx = np.array(basin_idx[:n])
+    centers = np.array([BASINS[b] for b in basin_idx])
+    phi = np.deg2rad(centers[:, 0] + rng.normal(0, 12, n))
+    psi = np.deg2rad(centers[:, 1] + rng.normal(0, 12, n))
+    omega = np.pi + np.deg2rad(rng.normal(0, 3, n))
+    dihedral_o = psi + np.pi
+    coords = nerf_build_backbone_np(phi, psi, omega, dihedral_o,
+                                    center=False)
+    return coords.reshape(n, 4, 3)
+
+
+def write_complex_pdb(path, rec_coords, rec_seq, lig_coords, lig_seq):
+    lines, serial = [], 0
+    for chain_id, coords, seq in (("A", rec_coords, rec_seq),
+                                  ("B", lig_coords, lig_seq)):
+        for i, aa in enumerate(seq):
+            res3 = ONE_TO_THREE[aa]
+            for j, (name, el) in enumerate(BB):
+                serial += 1
+                x, y, z = coords[i, j]
+                lines.append(
+                    f"ATOM  {serial:5d}  {name:<3s}{res3:>4s} "
+                    f"{chain_id}{i + 1:4d}    "
+                    f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  5.00"
+                    f"          {el:>2s}")
+        lines.append("TER")
+    lines.append("END")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=600)
+    ap.add_argument("--out", default="/tmp/demo_corpus")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    rows = []
+    for i in range(args.n):
+        pdb_id = f"d{i:04d}"
+        n_rec = int(rng.integers(24, 60))
+        n_lig = int(rng.integers(7, 17))  # >=5 post-trim; mostly <=16
+        rec_seq = "".join(rng.choice(list(AA20), n_rec))
+        lig_seq = "".join(rng.choice(list(AA20), n_lig))
+        rec = sample_chain_coords(rng, n_rec, helix_bias=0.55)
+        lig = sample_chain_coords(rng, n_lig,
+                                  helix_bias=float(rng.uniform(0.2, 0.8)))
+        # park the peptide near the receptor surface: offset from a random
+        # receptor CA along a random direction
+        anchor = rec[int(rng.integers(0, n_rec)), 1]
+        direction = rng.normal(size=3)
+        direction /= np.linalg.norm(direction)
+        lig = lig - lig[:, 1].mean(0) + anchor + direction * 9.0
+        write_complex_pdb(os.path.join(args.out, f"{pdb_id}.pdb"),
+                          rec, rec_seq, lig, lig_seq)
+        # binding site: receptor residues with CA within 12 A of any
+        # ligand CA (1-based ids, BioLiP-style "A<resnum>")
+        d = np.linalg.norm(rec[:, None, 1] - lig[None, :, 1], axis=-1)
+        close = np.nonzero((d < 12.0).any(1))[0]
+        site = close[:20] if len(close) else np.array([n_rec // 2])
+        bs = " ".join(f"{rec_seq[j]}{j + 1}" for j in site)
+        rows.append("\t".join(
+            [pdb_id, "A", f"{rng.uniform(1.2, 3.5):.2f}", "bs1", "PEP",
+             "B", "1", bs, bs, "", "", "", "", "", "", "", "", "", "",
+             str(n_lig), rec_seq]))
+
+    with open(os.path.join(args.out, "meta.tsv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"wrote {args.n} complexes + meta.tsv to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,8 @@ Two engines (host-side only; see e3diff_tpu/data/preprocessing.py):
   reference pipeline (reads .pdb and .cif);
 * native — the built-in dependency-free PDB parser + Kabsch-Sander DSSP
   (data/native_structure.py + data/dssp.py; .pdb and .cif).
---engine auto (default) picks biopython when importable.
+--engine auto (default) picks biopython when both it and the external
+dssp binary are present; otherwise the native engine.
 
 The output pickle feeds every other script via --data_file.
 """
@@ -18,46 +19,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def check_env() -> int:
-    """Probe the host for preprocessing deps and report which engine will
-    run. Returns a shell exit code so CI / setup scripts can gate on it."""
-    import shutil
+    """Probe the host for preprocessing deps and report which engine
+    resolve_engine('auto') — the pipeline's actual selector — will run.
+    Returns a shell exit code so CI / setup scripts can gate on it."""
+    from e3diff_tpu.data.preprocessing import (
+        find_dssp_binary, has_biopython, resolve_engine)
 
     probes = []
-    try:
-        import Bio  # noqa: F401
-        from Bio.PDB import PDBParser, MMCIFParser  # noqa: F401
+    if has_biopython():
+        import Bio
         probes.append(("biopython", True, getattr(Bio, "__version__", "?")))
-    except ImportError as e:
-        probes.append(("biopython", False, str(e)))
-    dssp = shutil.which("mkdssp") or shutil.which("dssp")
+    else:
+        probes.append(("biopython", False, "No module named 'Bio'"))
+    dssp = find_dssp_binary()
     probes.append(("dssp binary", bool(dssp), dssp or "not on PATH"))
     try:
-        import pandas  # noqa: F401
+        import pandas
         probes.append(("pandas", True, pandas.__version__))
     except ImportError as e:
         probes.append(("pandas", False, str(e)))
 
-    full = True
     for name, present, detail in probes:
         print(f"{'ok  ' if present else 'MISS'} {name}: {detail}")
-        full = full and present
 
-    pandas_ok = probes[-1][1]
-    if full:
-        print("\nengine=auto will use biopython (reference-exact, "
-              ".pdb + .cif).")
-        return 0
-    if pandas_ok:
-        print("\nbiopython/dssp missing: engine=auto falls back to the "
-              "built-in native engine (pure-numpy PDB parser + "
-              "Kabsch-Sander DSSP; .pdb and .cif — see "
-              "e3diff_tpu/data/dssp.py for documented deviations from "
-              "the external dssp binary).")
-        return 0
-    print("\npreprocessing cannot run here (pandas missing). Produce "
-          "biolip.pt on a host with the deps (see README 'Real data') "
-          "and convert it with scripts/convert_data.py.")
-    return 1
+    if not probes[-1][1]:
+        print("\npreprocessing cannot run here (pandas missing). Produce "
+              "biolip.pt on a host with the deps (see README 'Real "
+              "data') and convert it with scripts/convert_data.py.")
+        return 1
+    engine = resolve_engine("auto")
+    if engine == "biopython":
+        print("\nengine=auto will use biopython + the external dssp "
+              "binary (reference-exact, .pdb + .cif).")
+    else:
+        print("\nengine=auto will use the built-in native engine "
+              "(pure-numpy PDB/mmCIF parser + Kabsch-Sander DSSP with "
+              "C++ hot loops; see e3diff_tpu/data/dssp.py for documented "
+              "deviations from the external dssp binary).")
+    return 0
 
 
 def main():

@@ -34,10 +34,6 @@ def main():
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
 
-    from e3diff_tpu.utils.compile_cache import (
-        enable_persistent_compilation_cache)
-
-    enable_persistent_compilation_cache()
 
     import dataclasses
 

@@ -63,3 +63,23 @@ def test_tolerant_comparison_doctest():
     assert not tolerant_comparison_check(np.array([4.0]), "<=", np.pi)
     with pytest.raises(ValueError):
         tolerant_comparison_check(np.array([0.0]), "==", 0)
+
+
+def test_circle_penalty_parity_vs_reference():
+    """The circle_penalty regularizer (unused by the reference training
+    config but part of radian_smooth_l1_loss's surface) matches torch."""
+    import torch
+    from reference_compat import load_reference_module
+
+    ref_utils = load_reference_module("structure_model", "utils")
+    rng = np.random.default_rng(3)
+    pred = (rng.normal(size=(64,)) * 4).astype(np.float32)
+    target = (rng.normal(size=(64,)) * 4).astype(np.float32)
+    for penalty in (0.1, 1.0):
+        want = float(ref_utils.radian_smooth_l1_loss(
+            torch.tensor(pred), torch.tensor(target), beta=np.pi / 10,
+            circle_penalty=penalty))
+        got = float(radian_smooth_l1_loss(
+            jnp.asarray(pred), jnp.asarray(target), beta=np.pi / 10,
+            circle_penalty=penalty))
+        np.testing.assert_allclose(got, want, rtol=1e-5)

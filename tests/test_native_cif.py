@@ -135,3 +135,50 @@ def test_native_engine_reads_cif_only_folder(tmp_path):
     assert len(records) == 1
     assert records[0]["angle_features"].shape == (10 + 6, 8)
     assert list(records[0]["pocket_idx"]) == [2, 3, 6]
+
+
+def test_cif_blank_and_comment_lines_mid_loop(tmp_path):
+    """Blank/comment lines inside _atom_site are insignificant (CIF
+    grammar), not loop terminators; malformed short rows warn instead of
+    silently vanishing."""
+    import warnings as warnings_mod
+
+    rows = "\n".join([
+        "data_gap", "loop_",
+        *(f"_atom_site.{f}" for f in CIF_FIELDS),
+        "ATOM 1 N N . ALA X 1 ? 0.0 0.0 0.0 1.0 1 ALA A N 1",
+        "",
+        "# a stray comment",
+        "ATOM 2 C CA . ALA X 1 ? 1.0 0.0 0.0 1.0 1 ALA A CA 1",
+        "ATOM 3 C C",  # wrapped/truncated row -> warning, skipped
+        "ATOM 4 C C . ALA X 1 ? 2.0 0.0 0.0 1.0 1 ALA A C 1",
+        "loop_",  # a new loop genuinely ends atom_site
+        "_other.field",
+        "ATOM 9 N N . ALA X 9 ? 9.0 9.0 9.0 1.0 9 ALA A N 1",
+    ])
+    path = str(tmp_path / "gap.cif")
+    with open(path, "w") as f:
+        f.write(rows + "\n")
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        chains = parse_cif_chains(path)
+    assert [str(w.message) for w in caught
+            if "_atom_site row" in str(w.message)]
+    res = chains["A"]
+    assert len(res) == 1
+    assert set(res[0].atoms) == {"N", "CA", "C"}  # atoms after the gap kept
+
+
+def test_pdb_element_fallback_hydrogen_names(tmp_path):
+    """PDB lines without element columns: digit-prefixed hydrogen names
+    ('1HB2') must resolve to element H so ASA excludes them."""
+    lines = [
+        "ATOM      1  N   ALA A   1       0.000   0.000   0.000",
+        "ATOM      2 1HB2 ALA A   1       1.000   0.000   0.000",
+    ]
+    path = str(tmp_path / "noel.pdb")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    res = parse_pdb_chains(path)["A"][0]
+    assert res["N"].element == "N"
+    assert res["1HB2"].element == "H"

@@ -189,3 +189,26 @@ def test_sequence_losses_bf16_logits_match_f32():
     for key in gm:
         np.testing.assert_allclose(
             float(gm[key]), float(wm[key]), rtol=1e-5, err_msg=key)
+
+
+def test_blockdiag_applies_to_self_attention_only(monkeypatch):
+    """self_attention_impl='blockdiag' must not reroute cross-attention:
+    the layout loses at Lk=64 (measured); cross stays on einsum."""
+    from e3diff_tpu.models import blocks as blocks_mod
+
+    calls = []
+    orig = blocks_mod.MultiHeadAttention._blockdiag
+
+    def spy(self, *a, **kw):
+        calls.append(self.is_cross)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(blocks_mod.MultiHeadAttention, "_blockdiag", spy)
+    x, ext, mem, mem_ext = _stack_inputs()
+    stack = TransformerStack(_cfg(cross=True,
+                                  self_attention_impl="blockdiag"))
+    params = stack.init(jax.random.PRNGKey(0), x, ext, mem, mem_ext)[
+        "params"]
+    stack.apply({"params": params}, x, ext, mem, mem_ext,
+                deterministic=True)
+    assert calls and not any(calls)  # invoked, never for cross-attention

@@ -185,3 +185,23 @@ def test_filter_records():
     out = filter_records(parsed)
     assert len(out) == 1
     assert out[0]["structure_ids"]["pdb_id"] == "ok"
+
+
+def test_resolve_engine_auto_requires_dssp_binary(monkeypatch):
+    """auto must not pick biopython when the external dssp binary is
+    missing — Bio.PDB.DSSP shells out to mkdssp, so biopython alone
+    fails on every record (silent zero-complex runs otherwise)."""
+    from e3diff_tpu.data import preprocessing as prep
+
+    monkeypatch.setattr(prep, "has_biopython", lambda: True)
+    monkeypatch.setattr(prep, "find_dssp_binary", lambda: None)
+    assert prep.resolve_engine("auto") == "native"
+
+    monkeypatch.setattr(prep, "find_dssp_binary", lambda: "/usr/bin/mkdssp")
+    assert prep.resolve_engine("auto") == "biopython"
+
+    monkeypatch.setattr(prep, "has_biopython", lambda: False)
+    assert prep.resolve_engine("auto") == "native"
+
+    with pytest.raises(ValueError):
+        prep.resolve_engine("mystery")

@@ -54,3 +54,32 @@ def test_discrete_schedule_lookup_by_normalized_t():
     np.testing.assert_allclose(sched.alpha_bar(t_int=50), sched.alphas_bar[50])
     np.testing.assert_allclose(sched.beta(t_normalized=np.array([0.0, 1.0])),
                                sched.betas[[0, 50]])
+
+
+def test_gamma_noise_schedule_parity_vs_reference():
+    """GammaNoiseSchedule == the reference's unused PredefinedNoiseSchedule
+    (sequence_model/utils.py:180-204) over every lookup index."""
+    import torch
+    from reference_compat import load_reference_module
+
+    from e3diff_tpu.ops.schedules import GammaNoiseSchedule
+
+    ref_utils = load_reference_module("sequence_model", "utils")
+    ref = ref_utils.PredefinedNoiseSchedule("cosine", timesteps=50)
+    ours = GammaNoiseSchedule.cosine(50)
+    assert ours.gamma.shape == tuple(ref.gamma.shape)
+    t = np.linspace(0.0, 1.0, 51)
+    want = ref(torch.tensor(t)).numpy()
+    np.testing.assert_allclose(ours(t), want, rtol=2e-5)
+
+
+def test_custom_beta_schedule_discrete_parity_vs_reference():
+    from reference_compat import load_reference_module
+
+    from e3diff_tpu.ops.schedules import custom_beta_schedule_discrete
+
+    ref_utils = load_reference_module("sequence_model", "utils")
+    want = ref_utils.custom_beta_schedule_discrete(120)
+    got = custom_beta_schedule_discrete(120)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
