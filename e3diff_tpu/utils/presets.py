@@ -104,6 +104,72 @@ def add_config_flags(parser, defaults: ExperimentConfig):
     return parser
 
 
+# Fields that must agree with the checkpoint being restored: they size
+# the parameter tree (hidden/layers/heads/relative-position table/scan
+# layout) or define the diffusion process / data shapes the weights were
+# trained against.
+CKPT_BOUND_FIELDS = (
+    "pocket_ext", "max_seq_len", "ligand_max_len", "timesteps",
+    "noise_schedule", "num_heads", "hidden_size", "num_hidden_layers",
+    "intermediate_size", "position_embedding_type", "scan_layers",
+)
+
+
+def save_config(cfg: ExperimentConfig, ckpt_dir: str) -> str:
+    """Write the experiment config next to the checkpoints so sampling
+    CLIs can recover the trained architecture (config.json sidecar)."""
+    import json
+    import os
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "config.json")
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+    return path
+
+
+def load_ckpt_config(ckpt_path: str) -> dict | None:
+    """The config.json sidecar for a checkpoint path, or None. Accepts
+    either the run directory or a checkpoint inside it (ckpt_dir/final),
+    and is a no-op for torch .pt files without a sidecar."""
+    import json
+    import os
+
+    ckpt_path = os.path.abspath(ckpt_path)
+    for d in (ckpt_path, os.path.dirname(ckpt_path)):
+        path = os.path.join(d, "config.json")
+        if os.path.isfile(path):
+            with open(path) as f:
+                return json.load(f)
+    return None
+
+
+def adopt_ckpt_config(cfg: ExperimentConfig, args, parser, ckpt_path,
+                      fields=CKPT_BOUND_FIELDS):
+    """Adopt checkpoint-bound fields from the sidecar unless the user set
+    the flag explicitly (an explicit flag — even repeating the default's
+    value differently — wins; detection is value-vs-parser-default).
+    Returns (cfg, adopted {field: value}) and prints what changed, so a
+    mismatched --ckpt fails loudly at the flag level instead of as a
+    flax shape error."""
+    side = load_ckpt_config(ckpt_path)
+    if side is None:
+        return cfg, {}
+    adopted = {}
+    for name in fields:
+        if name not in side:
+            continue
+        if getattr(args, name) != parser.get_default(name):
+            continue  # explicit user override wins
+        if getattr(cfg, name) != side[name]:
+            adopted[name] = side[name]
+    if adopted:
+        cfg = dataclasses.replace(cfg, **adopted)
+        pairs = ", ".join(f"{k}={v}" for k, v in adopted.items())
+        print(f"adopted from {ckpt_path} config.json: {pairs}")
+    return cfg, adopted
+
+
 def config_from_args(args) -> ExperimentConfig:
     # every jit-running CLI funnels through here, so this is the one spot
     # that guarantees the persistent compile cache is on (30-340 s remote

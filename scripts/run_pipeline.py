@@ -13,7 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from e3diff_tpu.utils.presets import (  # noqa: E402
     add_config_flags,
+    adopt_ckpt_config,
     config_from_args,
+    load_ckpt_config,
     structure_sample_config,
 )
 
@@ -33,7 +35,22 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
-
+    # shared/data + structure-architecture fields follow the structure
+    # checkpoint's sidecar; the sequence-specific knobs follow its own
+    cfg, _ = adopt_ckpt_config(cfg, args, parser, args.structure_ckpt)
+    qside = load_ckpt_config(args.sequence_ckpt) or {}
+    if args.sequence_timesteps == parser.get_default("sequence_timesteps") \
+            and "timesteps" in qside:
+        args.sequence_timesteps = qside["timesteps"]
+    if args.sequence_layers == parser.get_default("sequence_layers") \
+            and "num_hidden_layers" in qside:
+        args.sequence_layers = qside["num_hidden_layers"]
+    for key in ("max_seq_len", "pocket_ext", "hidden_size"):
+        if key in qside and qside[key] != getattr(cfg, key):
+            parser.error(
+                f"checkpoint configs disagree on {key}: structure="
+                f"{getattr(cfg, key)} vs sequence={qside[key]} — retrain "
+                "or pass explicit flags")
 
     import dataclasses
 

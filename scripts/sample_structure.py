@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from e3diff_tpu.utils.presets import (  # noqa: E402
     add_config_flags,
+    adopt_ckpt_config,
     config_from_args,
     structure_sample_config,
 )
@@ -83,6 +84,7 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
+    cfg, _ = adopt_ckpt_config(cfg, args, parser, args.ckpt)
 
 
     import jax

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from e3diff_tpu.utils.presets import (  # noqa: E402
     add_config_flags,
     config_from_args,
+    save_config,
     structure_train_config,
 )
 
@@ -35,6 +36,7 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
+    save_config(cfg, args.ckpt_dir)  # sidecar for sampling CLIs
 
 
     import jax

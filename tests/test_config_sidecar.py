@@ -1,0 +1,76 @@
+"""Checkpoint config sidecar: training saves config.json next to the
+checkpoints; sampling CLIs adopt checkpoint-bound fields (architecture,
+diffusion, data shapes) unless the user overrides them explicitly.
+Regression for the flax ScopeParamShapeError a mismatched --ckpt used to
+produce (ext4/L=128 checkpoint vs an ext0/L=64 sampling default)."""
+
+import argparse
+import dataclasses
+import os
+
+from e3diff_tpu.utils.presets import (
+    CKPT_BOUND_FIELDS,
+    ExperimentConfig,
+    add_config_flags,
+    adopt_ckpt_config,
+    config_from_args,
+    load_ckpt_config,
+    save_config,
+    structure_sample_config,
+    structure_train_config,
+)
+
+
+def _cli(argv):
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, structure_sample_config())
+    args = parser.parse_args(argv)
+    return parser, args
+
+
+def test_save_and_load_roundtrip(tmp_path):
+    cfg = structure_train_config(min_epochs=8, max_epochs=8)
+    path = save_config(cfg, str(tmp_path / "run"))
+    assert os.path.basename(path) == "config.json"
+    side = load_ckpt_config(str(tmp_path / "run"))
+    assert side == dataclasses.asdict(cfg)
+    # a checkpoint INSIDE the run dir resolves to the same sidecar
+    os.makedirs(tmp_path / "run" / "final")
+    assert load_ckpt_config(str(tmp_path / "run" / "final")) == side
+
+
+def test_adopt_fills_unset_flags(tmp_path):
+    save_config(structure_train_config(), str(tmp_path))  # ext4 / L=128
+    parser, args = _cli([])  # sampling defaults: ext0 / L=64
+    cfg = config_from_args(args)
+    assert (cfg.pocket_ext, cfg.max_seq_len) == (0, 64)
+    cfg, adopted = adopt_ckpt_config(cfg, args, parser,
+                                     str(tmp_path / "final"))
+    assert (cfg.pocket_ext, cfg.max_seq_len) == (4, 128)
+    assert set(adopted) == {"pocket_ext", "max_seq_len"}
+
+
+def test_explicit_flag_beats_sidecar(tmp_path):
+    save_config(structure_train_config(), str(tmp_path))
+    parser, args = _cli(["--max_seq_len", "96"])
+    cfg = config_from_args(args)
+    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path))
+    assert cfg.max_seq_len == 96          # user flag wins
+    assert cfg.pocket_ext == 4            # unset flag still adopted
+    assert "max_seq_len" not in adopted
+
+
+def test_no_sidecar_is_noop(tmp_path):
+    parser, args = _cli([])
+    cfg = config_from_args(args)
+    cfg2, adopted = adopt_ckpt_config(cfg, args, parser,
+                                      str(tmp_path / "weights.pt"))
+    assert cfg2 == cfg and adopted == {}
+
+
+def test_ckpt_bound_fields_are_config_fields():
+    names = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    assert set(CKPT_BOUND_FIELDS) <= names
+    # training-only knobs must never be adopted into sampling configs
+    assert {"min_epochs", "max_epochs", "lr", "batch_size"}.isdisjoint(
+        CKPT_BOUND_FIELDS)
