@@ -14,8 +14,10 @@
 // outputs match element-for-element; values agree to ~1e-14 (numpy's
 // norm routes 3-vector dots through BLAS, which rounds differently).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -106,16 +108,76 @@ void shrake_rupley(const double* coords, const double* radii,
                    const int32_t* owner, int m, const double* sphere, int k,
                    double* out_asa, int n_res) {
   for (int r = 0; r < n_res; ++r) out_asa[r] = 0.0;
-  // neighbour scratch: indices of atoms touching atom `a`
-  int* neigh = new int[m > 0 ? m : 1];
+  if (m == 0) return;
+
+  // Uniform-grid cell list for the neighbour search: cell edge 2*rmax
+  // bounds the touch distance r_a + r_b, so candidates live in the 27
+  // surrounding cells. The touch TEST is unchanged — identical neighbour
+  // sets (sorted ascending, same as the brute-force scan order), so the
+  // output is bit-identical; only the search is O(m) instead of O(m^2).
+  double rmax = 0.0, lo[3], hi[3];
+  for (int c = 0; c < 3; ++c) lo[c] = hi[c] = coords[c];
+  for (int a = 0; a < m; ++a) {
+    if (radii[a] > rmax) rmax = radii[a];
+    for (int c = 0; c < 3; ++c) {
+      const double v = coords[3 * a + c];
+      if (v < lo[c]) lo[c] = v;
+      if (v > hi[c]) hi[c] = v;
+    }
+  }
+  const double cell = 2.0 * rmax > 1e-9 ? 2.0 * rmax : 1.0;
+  long nx = static_cast<long>((hi[0] - lo[0]) / cell) + 1;
+  long ny = static_cast<long>((hi[1] - lo[1]) / cell) + 1;
+  long nz = static_cast<long>((hi[2] - lo[2]) / cell) + 1;
+  const long ncells = nx * ny * nz;
+  const bool use_grid = ncells > 0 && ncells <= 8L * m + 1024;
+
+  std::vector<int> head, next_in_cell, cell_of;
+  if (use_grid) {
+    head.assign(ncells, -1);
+    next_in_cell.assign(m, -1);
+    cell_of.assign(m, 0);
+    for (int a = 0; a < m; ++a) {
+      const long cx = static_cast<long>((coords[3 * a] - lo[0]) / cell);
+      const long cy = static_cast<long>((coords[3 * a + 1] - lo[1]) / cell);
+      const long cz = static_cast<long>((coords[3 * a + 2] - lo[2]) / cell);
+      const long ci = (cx * ny + cy) * nz + cz;
+      cell_of[a] = static_cast<int>(ci);
+      next_in_cell[a] = head[ci];
+      head[ci] = a;
+    }
+  }
+
+  std::vector<int> neigh(m);
   const double four_pi = 4.0 * M_PI;
   for (int a = 0; a < m; ++a) {
     const double* ca = coords + 3 * a;
     const double ra = radii[a];
     int n_neigh = 0;
-    for (int b = 0; b < m; ++b) {
-      const double d = dist(coords + 3 * b, ca);
-      if (d < radii[b] + ra && d > 0.0) neigh[n_neigh++] = b;
+    if (use_grid) {
+      const long cx = cell_of[a] / (ny * nz);
+      const long cy = (cell_of[a] / nz) % ny;
+      const long cz = cell_of[a] % nz;
+      for (long dx = -1; dx <= 1; ++dx) {
+        if (cx + dx < 0 || cx + dx >= nx) continue;
+        for (long dy = -1; dy <= 1; ++dy) {
+          if (cy + dy < 0 || cy + dy >= ny) continue;
+          for (long dz = -1; dz <= 1; ++dz) {
+            if (cz + dz < 0 || cz + dz >= nz) continue;
+            long ci = ((cx + dx) * ny + (cy + dy)) * nz + (cz + dz);
+            for (int b = head[ci]; b >= 0; b = next_in_cell[b]) {
+              const double d = dist(coords + 3 * b, ca);
+              if (d < radii[b] + ra && d > 0.0) neigh[n_neigh++] = b;
+            }
+          }
+        }
+      }
+      std::sort(neigh.begin(), neigh.begin() + n_neigh);
+    } else {
+      for (int b = 0; b < m; ++b) {
+        const double d = dist(coords + 3 * b, ca);
+        if (d < radii[b] + ra && d > 0.0) neigh[n_neigh++] = b;
+      }
     }
     int buried = 0;
     for (int p = 0; p < k; ++p) {
@@ -136,7 +198,6 @@ void shrake_rupley(const double* coords, const double* radii,
     const double frac = 1.0 - static_cast<double>(buried) / k;
     out_asa[owner[a]] += frac * four_pi * ra * ra;
   }
-  delete[] neigh;
 }
 
 }  // extern "C"
