@@ -192,11 +192,11 @@ def _hbond_scan_native(entries: list[_Entry]):
 
 
 def _make_testbond(acceptors):
-    def test(donor: int, acceptor: int) -> bool:
-        """True iff NH(donor) ... CO(acceptor) is a stored bond < -0.5."""
-        return any(j == acceptor and e < HBOND_E
-                   for j, e in acceptors[donor])
-    return test
+    """O(1) membership test: True iff NH(donor) ... CO(acceptor) is a
+    stored bond with E < -0.5."""
+    bonds = {(d, j) for d, row in enumerate(acceptors)
+             for j, e in row if j is not None and e < HBOND_E}
+    return lambda donor, acceptor: (donor, acceptor) in bonds
 
 
 def _no_break(entries, i, j) -> bool:
@@ -283,13 +283,19 @@ def assign_secondary_structure(entries: list[_Entry], acceptors) -> list[str]:
             if turns[s][i]:
                 for k in range(i + 1, i + s):
                     put(k, "T")
-    for i in range(2, n - 2):       # S: bend, kappa > 70 deg
-        if _no_break(entries, i - 2, i + 2):
-            u = entries[i].ca - entries[i - 2].ca
-            v = entries[i + 2].ca - entries[i].ca
-            cosk = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
-            if np.degrees(np.arccos(np.clip(cosk, -1, 1))) > 70.0:
-                put(i, "S")
+    if n >= 5:                      # S: bend, kappa > 70 deg (vectorized)
+        ca = np.stack([e.ca for e in entries])
+        connected = np.array([e.connected_prev for e in entries])
+        u = ca[2:n - 2] - ca[:n - 4]
+        v = ca[4:] - ca[2:n - 2]
+        cosk = (u * v).sum(1) / (np.linalg.norm(u, axis=1)
+                                 * np.linalg.norm(v, axis=1))
+        bend = np.degrees(np.arccos(np.clip(cosk, -1, 1))) > 70.0
+        # no chain break across i-2..i+2 (== all connected_prev in i-1..i+2)
+        ok = np.all(np.stack([connected[off:off + n - 4]
+                              for off in range(1, 5)]), axis=0)
+        for i in np.nonzero(bend & ok)[0] + 2:
+            put(int(i), "S")
     return ss
 
 
