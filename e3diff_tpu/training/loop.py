@@ -56,6 +56,7 @@ def train_loop(
     min_epochs: int = 0,
     ckpt_dir: str | None = None,
     ckpt_mode: str = "max",          # Q4-faithful default
+    ckpt_every: int = 1,             # 'last' (resume) save cadence, epochs
     log_every: int = 30,
     log_fn: Callable[[str], None] = print,
     profile_dir: str | None = None,
@@ -125,7 +126,9 @@ def train_loop(
                 # best slot holds params only — it's an inference artifact
                 # loadable by every sample CLI (like 'final')
                 best.update(val_means, {"params": state.params})
-            manager.save("last", {"state": state, "epoch": epoch})
+            if (epoch + 1) % max(ckpt_every, 1) == 0 \
+                    or epoch == max_epochs - 1:
+                manager.save("last", {"state": state, "epoch": epoch})
 
     if manager is not None:
         manager.save_final(state.params)

@@ -42,6 +42,11 @@ class ExperimentConfig:
     # runtime
     bf16: bool = True
     seed: int = 0
+    # save the resumable 'last' checkpoint every N epochs (the best-on-val
+    # and final saves are unaffected). Full train state for the 146M model
+    # is ~2.3 GB — at every-epoch cadence a slow checkpoint store (e.g. a
+    # tunneled host at 5-13 MB/s) costs more than the epoch itself.
+    ckpt_every: int = 1
     # compile the transformer stacks as one nn.scan'ed layer (≈3x faster
     # cold compiles, ~7% slower steps — use for dev iteration; params get
     # a leading layer axis, converters in models/restack.py)

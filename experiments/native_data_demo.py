@@ -37,7 +37,10 @@ BB = [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]
 
 
 def sample_chain_coords(rng, n, helix_bias=0.5):
-    """Per-residue torsions from jittered basins -> (n, 4, 3) coords."""
+    """Per-residue torsions from jittered basins -> (n, 4, 3) coords.
+    Bond angles get per-chain jitter (~2 deg) so their dataset marginals
+    are non-degenerate (constant columns make distribution metrics
+    meaningless)."""
     p = np.array([helix_bias, (1 - helix_bias) * 0.6,
                   (1 - helix_bias) * 0.3, (1 - helix_bias) * 0.1])
     # runs of one basin (secondary-structure-like segments)
@@ -50,9 +53,14 @@ def sample_chain_coords(rng, n, helix_bias=0.5):
     phi = np.deg2rad(centers[:, 0] + rng.normal(0, 12, n))
     psi = np.deg2rad(centers[:, 1] + rng.normal(0, 12, n))
     omega = np.pi + np.deg2rad(rng.normal(0, 3, n))
-    dihedral_o = psi + np.pi
+    dihedral_o = psi + np.pi + np.deg2rad(rng.normal(0, 2, n))
+    jitter = dict(
+        bond_angle_n_ca=np.deg2rad(121.0 + rng.normal(0, 2.0)),
+        bond_angle_ca_c=np.deg2rad(109.0 + rng.normal(0, 2.0)),
+        bond_angle_c_n=np.deg2rad(115.0 + rng.normal(0, 2.0)),
+        bond_angle_c_o=np.deg2rad(115.0 + rng.normal(0, 2.0)))
     coords = nerf_build_backbone_np(phi, psi, omega, dihedral_o,
-                                    center=False)
+                                    center=False, **jitter)
     return coords.reshape(n, 4, 3)
 
 

@@ -95,7 +95,7 @@ def main():
     state, history = train_loop(
         trainer, state, train_batches, val_batches, rng,
         max_epochs=cfg.max_epochs, min_epochs=cfg.min_epochs,
-        ckpt_dir=args.ckpt_dir)
+        ckpt_dir=args.ckpt_dir, ckpt_every=cfg.ckpt_every)
     import json
     with open(os.path.join(args.ckpt_dir, "history.json"), "w") as f:
         json.dump(history, f, indent=1)

@@ -138,3 +138,51 @@ def test_fourier_w_is_frozen():
         state, _ = trainer.train_step(state, dict(jbatch), jax.random.PRNGKey(i))
     np.testing.assert_array_equal(
         np.asarray(state.params["timestep_projector"]["W"]), w_before)
+
+
+def test_ckpt_every_controls_last_save_cadence(monkeypatch, tmp_path):
+    """ckpt_every=N saves the resumable 'last' checkpoint every N epochs
+    plus the final epoch (full train state is ~2.3 GB at 146M scale —
+    every-epoch saves dominate wall-clock on slow checkpoint stores)."""
+    from e3diff_tpu.training import loop as loop_mod
+
+    saved = []
+
+    class FakeManager:
+        def __init__(self, ckpt_dir):
+            pass
+
+        def exists(self, name):
+            return False
+
+        def save(self, name, payload):
+            saved.append((name, payload.get("epoch")))
+
+        def save_final(self, params):
+            saved.append(("final", None))
+
+        def close(self):
+            pass
+
+    class FakeTrainer:
+        def train_step(self, state, batch, rng):
+            return state, {"train_loss": 0.0}
+
+    monkeypatch.setattr(loop_mod, "CheckpointManager", FakeManager)
+    monkeypatch.setattr(loop_mod, "BestTracker",
+                        lambda manager, mode: None)
+
+    import jax
+
+    class FakeState:
+        params = {}
+
+    loop_mod.train_loop(
+        FakeTrainer(), state=FakeState(),
+        train_batches=lambda epoch: [{"x": 0}],
+        val_batches=None, rng=jax.random.PRNGKey(0),
+        max_epochs=5, ckpt_dir=str(tmp_path), ckpt_every=2,
+        log_every=0, log_fn=lambda s: None)
+
+    assert [e for n, e in saved if n == "last"] == [1, 3, 4]
+    assert saved[-1] == ("final", None)
