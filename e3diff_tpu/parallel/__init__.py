@@ -5,6 +5,11 @@ from e3diff_tpu.parallel.mesh import (
     shard_params,
     shard_batch,
 )
+from e3diff_tpu.parallel.multihost import (
+    distribute_batch,
+    host_local_slice,
+    initialize_multihost,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "param_sharding_rules",
     "shard_params",
     "shard_batch",
+    "distribute_batch",
+    "host_local_slice",
+    "initialize_multihost",
 ]

@@ -26,6 +26,37 @@ import numpy as np
 from e3diff_tpu.parallel.mesh import batch_sharding
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> tuple[int, int]:
+    """Initialize jax.distributed for multi-process (multi-host) runs.
+
+    Call BEFORE any computation touches a backend (train CLIs expose
+    --multihost which does). On TPU pods all three arguments are
+    auto-detected from the environment by JAX; elsewhere pass them or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID. No-op
+    when already initialized or when resolved num_processes == 1 with no
+    coordinator (plain single-host run). Returns
+    (process_index, process_count).
+    """
+    import os
+
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    already = getattr(jax.distributed, "is_initialized", lambda: False)()
+    single = coordinator_address is None and (num_processes or 1) == 1
+    if not already and not single:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
 def host_local_slice(n_examples: int, process_index: int | None = None,
                      process_count: int | None = None) -> slice:
     """The contiguous row range this host should load.

@@ -29,21 +29,34 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, name: str, state: Any, force: bool = True):
-        self._ckptr.save(self._path(name), state, force=force)
+    def save(self, name: str, state: Any, force: bool = True,
+             block: bool = False):
+        """Asynchronous by default: StandardCheckpointer snapshots the
+        (immutable) jax arrays and streams them to disk in background
+        threads, so training continues during the device->host pull —
+        which costs minutes per save for 146M-scale state on tunneled
+        hosts. At most one save is in flight (a new save waits for the
+        previous); restore/close also wait."""
         self._ckptr.wait_until_finished()
+        self._ckptr.save(self._path(name), state, force=force)
+        if block:
+            self._ckptr.wait_until_finished()
 
     def restore(self, name: str, abstract_state: Any):
+        self._ckptr.wait_until_finished()
         return self._ckptr.restore(self._path(name), abstract_state)
 
     def exists(self, name: str) -> bool:
+        self._ckptr.wait_until_finished()
         return os.path.isdir(self._path(name))
 
     def save_final(self, params: Any):
-        """The reference's end-of-training raw weights save."""
-        self.save("final", {"params": params})
+        """The reference's end-of-training raw weights save (blocking —
+        it's the last thing a run does)."""
+        self.save("final", {"params": params}, block=True)
 
     def close(self):
+        self._ckptr.wait_until_finished()
         self._ckptr.close()
 
 

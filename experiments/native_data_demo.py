@@ -36,11 +36,18 @@ BASINS = [(-63.0, -43.0), (-120.0, 130.0), (-75.0, 150.0), (57.0, 47.0)]
 BB = [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]
 
 
+# per-basin amino-acid preferences (helix-formers / strand-formers /
+# ppII / left-handed-tolerant) so sequence correlates with structure and
+# inverse folding has signal to learn (recovery > chance is achievable)
+BASIN_AA = ["ALEQKMR", "VITYFWC", "PSTNG", "GNDH"]
+
+
 def sample_chain_coords(rng, n, helix_bias=0.5):
-    """Per-residue torsions from jittered basins -> (n, 4, 3) coords.
+    """Per-residue torsions from jittered basins -> (coords (n,4,3), seq).
     Bond angles get per-chain jitter (~2 deg) so their dataset marginals
     are non-degenerate (constant columns make distribution metrics
-    meaningless)."""
+    meaningless); residue identity is drawn 80% from the basin's
+    preferred set, 20% uniform."""
     p = np.array([helix_bias, (1 - helix_bias) * 0.6,
                   (1 - helix_bias) * 0.3, (1 - helix_bias) * 0.1])
     # runs of one basin (secondary-structure-like segments)
@@ -61,7 +68,11 @@ def sample_chain_coords(rng, n, helix_bias=0.5):
         bond_angle_c_o=np.deg2rad(115.0 + rng.normal(0, 2.0)))
     coords = nerf_build_backbone_np(phi, psi, omega, dihedral_o,
                                     center=False, **jitter)
-    return coords.reshape(n, 4, 3)
+    seq = "".join(
+        rng.choice(list(BASIN_AA[b])) if rng.uniform() < 0.8
+        else rng.choice(list(AA20))
+        for b in basin_idx)
+    return coords.reshape(n, 4, 3), seq
 
 
 def write_complex_pdb(path, rec_coords, rec_seq, lig_coords, lig_seq):
@@ -98,11 +109,9 @@ def main():
         pdb_id = f"d{i:04d}"
         n_rec = int(rng.integers(24, 60))
         n_lig = int(rng.integers(7, 17))  # >=5 post-trim; mostly <=16
-        rec_seq = "".join(rng.choice(list(AA20), n_rec))
-        lig_seq = "".join(rng.choice(list(AA20), n_lig))
-        rec = sample_chain_coords(rng, n_rec, helix_bias=0.55)
-        lig = sample_chain_coords(rng, n_lig,
-                                  helix_bias=float(rng.uniform(0.2, 0.8)))
+        rec, rec_seq = sample_chain_coords(rng, n_rec, helix_bias=0.55)
+        lig, lig_seq = sample_chain_coords(
+            rng, n_lig, helix_bias=float(rng.uniform(0.2, 0.8)))
         # park the peptide near the receptor surface: offset from a random
         # receptor CA along a random direction
         anchor = rec[int(rng.integers(0, n_rec)), 1]

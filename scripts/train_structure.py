@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--synthetic", action="store_true",
                         help="use a synthetic dataset (no BioLiP needed)")
     parser.add_argument("--synthetic_n", type=int, default=64)
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed before any backend touch (multi-process runs; auto-detected on TPU pods)")
     parser.add_argument("--dp", type=int, default=None,
                         help="data-parallel extent (default: all devices)")
     parser.add_argument("--tp", type=int, default=1)
@@ -37,6 +39,11 @@ def main():
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
     save_config(cfg, args.ckpt_dir)  # sidecar for sampling CLIs
+    if args.multihost:
+        from e3diff_tpu.parallel import initialize_multihost
+
+        pidx, pcount = initialize_multihost()
+        print(f"multihost: process {pidx}/{pcount}")
 
 
     import jax

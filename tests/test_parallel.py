@@ -276,3 +276,46 @@ def test_distribute_batch_rejects_unpadded_uneven(monkeypatch):
     bad["ligand_angles"] = bad["ligand_angles"][:8]
     with pytest.raises(ValueError, match="inconsistent"):
         multihost.distribute_batch(bad, mesh)
+
+
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    """No coordinator + 1 process: plain single-host run, jax.distributed
+    must NOT be initialized."""
+    import jax
+
+    from e3diff_tpu.parallel import initialize_multihost
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    pidx, pcount = initialize_multihost()
+    assert calls == []
+    assert (pidx, pcount) == (0, 1)
+
+
+def test_initialize_multihost_env_driven(monkeypatch):
+    import jax
+
+    from e3diff_tpu.parallel import initialize_multihost
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    if hasattr(jax.distributed, "is_initialized"):
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    initialize_multihost()
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+
+    # already-initialized runtimes are left alone
+    if hasattr(jax.distributed, "is_initialized"):
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+        calls.clear()
+        initialize_multihost()
+        assert calls == []
