@@ -160,3 +160,18 @@ def test_compile_cache_toggle(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == target
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_sample_structure_adopts_ckpt_sidecar(trained, monkeypatch):
+    """Sampling with ONLY --ckpt (no architecture flags): the config.json
+    sidecar written by training must supply the trained architecture —
+    this exact flow used to die in flax param-shape errors."""
+    base, s_dir, _ = trained
+    out = str(base / "angles_sidecar.pkl")
+    _run("scripts.sample_structure",
+         ["x", "--data_file", "x", "--synthetic", "--ckpt", f"{s_dir}/final",
+          "--output", out, "--batch_size", "8", "--bf16", "false",
+          "--all_batches", "--no_trajectory"], monkeypatch)
+    with open(out, "rb") as f:
+        sampled = pickle.load(f)
+    assert len(sampled) >= 1 and sampled[0].shape[1] == 8
