@@ -182,3 +182,26 @@ def test_pdb_element_fallback_hydrogen_names(tmp_path):
     res = parse_pdb_chains(path)["A"][0]
     assert res["N"].element == "N"
     assert res["1HB2"].element == "H"
+
+
+def test_gz_compressed_readers(tmp_path):
+    """Both readers accept .gz-compressed files (BioLiP archives ship
+    gzipped structures)."""
+    import gzip
+
+    chains = {"A": build_chain(-57, -47, n=8, chain_id="A")}
+    pdb = write_chains_pdb(chains, str(tmp_path / "x.pdb"))
+    cif = write_chains_cif(chains, str(tmp_path / "x.cif"))
+    for src, dst in [(pdb, "x.pdb.gz"), (cif, "x.cif.gz")]:
+        with open(src, "rb") as f_in, \
+                gzip.open(str(tmp_path / dst), "wb") as f_out:
+            f_out.write(f_in.read())
+    plain = parse_pdb_chains(pdb)
+    gz = parse_structure_chains(str(tmp_path / "x.pdb.gz"))
+    cif_gz = parse_structure_chains(str(tmp_path / "x.cif.gz"))
+    for parsed in (gz, cif_gz):
+        assert [r.seq_num for r in parsed["A"]] == \
+               [r.seq_num for r in plain["A"]]
+        np.testing.assert_allclose(parsed["A"][0]["CA"].get_coord(),
+                                   plain["A"][0]["CA"].get_coord(),
+                                   atol=1e-3)
