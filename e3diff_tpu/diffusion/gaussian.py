@@ -131,3 +131,70 @@ class GaussianAngleDiffusion:
 
         (x_final, _), traj = jax.lax.scan(body, (x_init, key), t_values)
         return (x_final, traj) if return_trajectory else (x_final, None)
+
+    # ---------------- DDIM (accelerated reverse) ----------------
+
+    def ddim_step(self, key, x_t, eps_hat, t, t_prev, eta: float):
+        """One DDIM update x_t -> x_{t_prev} (Song et al. 2020, eq. 12).
+
+        Not in the reference — its only acceleration knob is the STEP
+        stride through the ANCESTRAL update (sample.py:16,120), which
+        applies a single-step posterior across a multi-step jump and
+        degrades sharply (measured: mean marginal TV 0.35 -> 0.75 at
+        stride 2, BENCHMARKS.md). DDIM jumps correctly: predict x0, then
+        re-noise to t_prev's marginal. eta=1 (the default here) recovers
+        DDPM-like stochasticity on the subsequence and measured at
+        quality parity with the full 1000-step loop (TV 0.353 vs 0.347
+        at 50 steps); eta=0 (deterministic) measured WORSE on this
+        wrapped-angle domain (TV 0.86) — the ODE path concentrates mass
+        and the early-step x0 extrapolation amplifies wrap
+        discontinuities. t_prev < 0 means "to x0" (a_bar -> 1). Wrapped
+        to [-pi, pi) like every reverse step here.
+        """
+        a_t = self.terms["alphas_cumprod"][t][:, None, None]
+        a_prev = jnp.where(t_prev >= 0,
+                           self.terms["alphas_cumprod"][jnp.maximum(t_prev, 0)],
+                           1.0)[:, None, None]
+        x0_pred = (x_t - jnp.sqrt(1.0 - a_t) * eps_hat) / jnp.sqrt(a_t)
+        sigma = eta * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t)) \
+            * jnp.sqrt(jnp.clip(1.0 - a_t / a_prev, 0.0))
+        dir_term = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0)) * eps_hat
+        z = jax.random.normal(key, x_t.shape, x_t.dtype)
+        keep = (t_prev >= 0).astype(x_t.dtype)[:, None, None]
+        return wrap_angle(jnp.sqrt(a_prev) * x0_pred + dir_term
+                          + keep * sigma * z)
+
+    def sample_loop_ddim(
+        self,
+        denoise_fn: Callable,
+        key,
+        x_init,
+        *,
+        n_steps: int = 50,
+        eta: float = 1.0,
+        return_trajectory: bool = False,
+        trajectory_dtype=None,
+    ):
+        """`lax.scan` DDIM over an evenly spaced descending timestep
+        subsequence (n_steps model forwards instead of T)."""
+        ts = np.round(np.linspace(0, self.timesteps - 1,
+                                  max(n_steps, 1))).astype(np.int32)[::-1]
+        t_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+        b = x_init.shape[0]
+        pairs = (jnp.asarray(ts.copy()), jnp.asarray(t_prev))
+
+        def body(carry, pair):
+            x, k = carry
+            t_scalar, tp_scalar = pair
+            k, k_step = jax.random.split(k)
+            t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            tp_vec = jnp.full((b,), tp_scalar, dtype=jnp.int32)
+            eps_hat = denoise_fn(t_vec, x)
+            x = self.ddim_step(k_step, x, eps_hat, t_vec, tp_vec, eta)
+            y = None
+            if return_trajectory:
+                y = x if trajectory_dtype is None else x.astype(trajectory_dtype)
+            return (x, k), y
+
+        (x_final, _), traj = jax.lax.scan(body, (x_init, key), pairs)
+        return (x_final, traj) if return_trajectory else (x_final, None)

@@ -34,12 +34,20 @@ _SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 
 def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
                            step: int = 1, return_trajectory: bool = True,
-                           trajectory_dtype=None):
+                           trajectory_dtype=None, sampler: str = "ddpm",
+                           ddim_steps: int = 50, ddim_eta: float = 1.0):
     """Returns a jitted f(params, batch, key) -> (final, trajectory).
     Cached per (model, diffusion, step, flags) so repeated calls reuse the
-    compiled program."""
+    compiled program.
+
+    sampler="ddpm" is the reference-faithful ancestral loop (T forwards,
+    optionally strided — a lossy skip, see BENCHMARKS.md); "ddim" runs
+    the correct accelerated subsequence (ddim_steps forwards, ddim_eta
+    stochasticity) — not in the reference."""
+    if sampler not in ("ddpm", "ddim"):
+        raise ValueError(f"unknown sampler {sampler!r}")
     key = (id(model), id(diffusion), step, return_trajectory,
-           str(trajectory_dtype))
+           str(trajectory_dtype), sampler, ddim_steps, float(ddim_eta))
     hit = _SAMPLER_CACHE.get(key, model, diffusion)
     if hit is not None:
         return hit
@@ -65,6 +73,11 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
                 batch["receptor_attn_mask"],
                 deterministic=True, method=model.decode)
 
+        if sampler == "ddim":
+            return diffusion.sample_loop_ddim(
+                denoise_fn, key_loop, x_init, n_steps=ddim_steps,
+                eta=ddim_eta, return_trajectory=return_trajectory,
+                trajectory_dtype=trajectory_dtype)
         return diffusion.sample_loop(
             denoise_fn, key_loop, x_init, step=step,
             return_trajectory=return_trajectory,
@@ -85,6 +98,9 @@ def sample_structure_batches(
     first_batch_only: bool = True,
     return_trajectory: bool = True,
     trajectory_dtype=None,
+    sampler: str = "ddpm",
+    ddim_steps: int = 50,
+    ddim_eta: float = 1.0,
 ) -> list[np.ndarray]:
     """Returns a list of per-sample arrays shaped (T, len_i, 8) (trajectory)
     or (len_i, 8) (final only), matching the reference output.pkl layout.
@@ -98,7 +114,9 @@ def sample_structure_batches(
     (BENCHMARKS.md round-2 measurements)."""
     sampler = make_structure_sampler(model, diffusion, step=step,
                                      return_trajectory=return_trajectory,
-                                     trajectory_dtype=trajectory_dtype)
+                                     trajectory_dtype=trajectory_dtype,
+                                     sampler=sampler, ddim_steps=ddim_steps,
+                                     ddim_eta=ddim_eta)
 
     def materialize(pending):
         final, traj, lengths, num_valid = pending

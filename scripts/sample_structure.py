@@ -68,7 +68,16 @@ def main():
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--output", default="./data/output.pkl")
     parser.add_argument("--step", type=int, default=1,
-                        help="stride through timesteps (reference STEP knob)")
+                        help="stride through timesteps (reference STEP knob; "
+                             "a lossy skip — prefer --sampler ddim)")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"],
+                        default="ddpm",
+                        help="ddpm = reference-faithful ancestral loop; "
+                             "ddim = accelerated subsequence sampler "
+                             "(--ddim_steps forwards instead of T)")
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--ddim_eta", type=float, default=1.0,
+                        help="1.0 (default) matches DDPM quality at 20x fewer steps on the wrapped-angle domain (BENCHMARKS.md); 0.0 = deterministic, measured worse here")
     parser.add_argument("--all_batches", action="store_true",
                         help="disable the reference's first-batch-only "
                              "quirk (Q5)")
@@ -115,7 +124,9 @@ def main():
         params, model, diffusion, test_ds.batches(cfg.batch_size), rng,
         step=args.step, first_batch_only=not args.all_batches,
         return_trajectory=not args.no_trajectory,
-        trajectory_dtype=jnp.bfloat16 if args.trajectory_bf16 else None)
+        trajectory_dtype=jnp.bfloat16 if args.trajectory_bf16 else None,
+        sampler=args.sampler, ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     with open(args.output, "wb") as f:
