@@ -54,6 +54,9 @@ def run_pipeline(
     step: int = 1,
     pdb_outdir: str | None = None,
     diverse: bool = True,
+    sampler: str = "ddpm",
+    ddim_steps: int = 50,
+    ddim_eta: float = 1.0,
 ) -> dict:
     """Returns the inverse-folding results dict plus the generated angles
     (and PDB paths when pdb_outdir is given)."""
@@ -65,7 +68,8 @@ def run_pipeline(
     batches = list(test_data.batches(batch_size))
     sampled = sample_structure_batches(
         structure_params, structure_model, diffusion, batches, key_s,
-        step=step, first_batch_only=False, return_trajectory=False)
+        step=step, first_batch_only=False, return_trajectory=False,
+        sampler=sampler, ddim_steps=ddim_steps, ddim_eta=ddim_eta)
 
     pdb_paths = None
     if pdb_outdir is not None:

@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--structure_ckpt", required=True)
     parser.add_argument("--sequence_ckpt", required=True)
     parser.add_argument("--outdir", default="./data/pipeline")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"],
+                        default="ddpm",
+                        help="structure sampler: ddpm = faithful 1000-step loop; ddim = accelerated (--ddim_steps forwards)")
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--ddim_eta", type=float, default=1.0)
     parser.add_argument("--sequence_timesteps", type=int, default=50)
     parser.add_argument("--sequence_layers", type=int, default=6)
     parser.add_argument("--synthetic", action="store_true")
@@ -87,6 +92,8 @@ def main():
         sparams, smodel, qparams, qmodel, test_ds, rng,
         batch_size=cfg.batch_size, structure_timesteps=cfg.timesteps,
         sequence_timesteps=args.sequence_timesteps,
+        sampler=args.sampler, ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
         pdb_outdir=os.path.join(args.outdir, "pdbs"))
 
     print(f"mean recovery rate: {np.mean(results['recovery_rate']):.4f}")
