@@ -177,8 +177,13 @@ class GaussianAngleDiffusion:
     ):
         """`lax.scan` DDIM over an evenly spaced descending timestep
         subsequence (n_steps model forwards instead of T)."""
-        ts = np.round(np.linspace(0, self.timesteps - 1,
-                                  max(n_steps, 1))).astype(np.int32)[::-1]
+        if n_steps <= 1:
+            # one-shot x0 prediction must start from the NOISE end
+            # (linspace(0, T-1, 1) would start at t=0 and return x_init)
+            ts = np.array([self.timesteps - 1], dtype=np.int32)
+        else:
+            ts = np.round(np.linspace(0, self.timesteps - 1,
+                                      n_steps)).astype(np.int32)[::-1]
         t_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
         b = x_init.shape[0]
         pairs = (jnp.asarray(ts.copy()), jnp.asarray(t_prev))

@@ -33,10 +33,12 @@ def initialize_multihost(coordinator_address: str | None = None,
 
     Call BEFORE any computation touches a backend (train CLIs expose
     --multihost which does). On TPU pods all three arguments are
-    auto-detected from the environment by JAX; elsewhere pass them or set
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID. No-op
-    when already initialized or when resolved num_processes == 1 with no
-    coordinator (plain single-host run). Returns
+    auto-detected from the environment by JAX (initialize is always
+    attempted — the flag is an explicit opt-in); elsewhere pass them or
+    set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    Already-initialized runtimes and explicit num_processes=1 are
+    no-ops; when nothing was configured AND no cluster is detectable the
+    failure downgrades to a single-process warning. Returns
     (process_index, process_count).
     """
     import os
@@ -49,11 +51,24 @@ def initialize_multihost(coordinator_address: str | None = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     already = getattr(jax.distributed, "is_initialized", lambda: False)()
-    single = coordinator_address is None and (num_processes or 1) == 1
-    if not already and not single:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
+    if not already and num_processes != 1:
+        # ALWAYS attempt initialization (the caller opted in): on TPU
+        # pods / managed clusters jax auto-detects everything from the
+        # environment when the args are None. Only an environment with
+        # nothing to detect fails — fall back to single-process with a
+        # warning rather than crashing a plain single-host run.
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except Exception as e:
+            if coordinator_address is not None or num_processes is not None:
+                raise  # explicitly-configured multi-process: fail loudly
+            import warnings
+
+            warnings.warn(
+                f"initialize_multihost: no cluster detected ({e!r}); "
+                "continuing single-process.", stacklevel=2)
     return jax.process_index(), jax.process_count()
 
 

@@ -112,11 +112,11 @@ def sample_structure_batches(
     than the 6.8 s of sampling compute — so the overlap (and the optional
     bfloat16 trajectory_dtype, 2x smaller) is where the wall-clock is
     (BENCHMARKS.md round-2 measurements)."""
-    sampler = make_structure_sampler(model, diffusion, step=step,
-                                     return_trajectory=return_trajectory,
-                                     trajectory_dtype=trajectory_dtype,
-                                     sampler=sampler, ddim_steps=ddim_steps,
-                                     ddim_eta=ddim_eta)
+    run = make_structure_sampler(model, diffusion, step=step,
+                                 return_trajectory=return_trajectory,
+                                 trajectory_dtype=trajectory_dtype,
+                                 sampler=sampler, ddim_steps=ddim_steps,
+                                 ddim_eta=ddim_eta)
 
     def materialize(pending):
         final, traj, lengths, num_valid = pending
@@ -134,7 +134,7 @@ def sample_structure_batches(
         key, bkey = jax.random.split(key)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("num_valid", "structure_ids")}
-        final, traj = sampler(params, jbatch, bkey)  # async dispatch
+        final, traj = run(params, jbatch, bkey)  # async dispatch
         lengths = np.asarray(batch["ligand_attn_mask"]).sum(1).astype(int)
         num_valid = int(batch.get("num_valid", len(lengths)))
         if pending is not None:

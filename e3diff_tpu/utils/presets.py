@@ -149,14 +149,24 @@ def load_ckpt_config(ckpt_path: str) -> dict | None:
     return None
 
 
+def _flag_on_command_line(name: str, argv=None) -> bool:
+    """True when --name appeared explicitly (as '--name v' or
+    '--name=v'). Value-vs-default comparison can't tell an explicit
+    repeat of the default apart from an unset flag; argv can."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    return any(a == f"--{name}" or a.startswith(f"--{name}=")
+               for a in argv)
+
+
 def adopt_ckpt_config(cfg: ExperimentConfig, args, parser, ckpt_path,
-                      fields=CKPT_BOUND_FIELDS):
-    """Adopt checkpoint-bound fields from the sidecar unless the user set
-    the flag explicitly (an explicit flag — even repeating the default's
-    value differently — wins; detection is value-vs-parser-default).
-    Returns (cfg, adopted {field: value}) and prints what changed, so a
-    mismatched --ckpt fails loudly at the flag level instead of as a
-    flax shape error."""
+                      fields=CKPT_BOUND_FIELDS, argv=None):
+    """Adopt checkpoint-bound fields from the sidecar unless the flag was
+    given on the command line (an explicit flag — even repeating the
+    default's value — wins). Returns (cfg, adopted {field: value}) and
+    prints what changed, so a mismatched --ckpt fails loudly at the flag
+    level instead of as a flax shape error."""
     side = load_ckpt_config(ckpt_path)
     if side is None:
         return cfg, {}
@@ -164,7 +174,7 @@ def adopt_ckpt_config(cfg: ExperimentConfig, args, parser, ckpt_path,
     for name in fields:
         if name not in side:
             continue
-        if getattr(args, name) != parser.get_default(name):
+        if _flag_on_command_line(name, argv):
             continue  # explicit user override wins
         if getattr(cfg, name) != side[name]:
             adopted[name] = side[name]

@@ -44,13 +44,17 @@ def main():
     # checkpoint's sidecar; the sequence-specific knobs follow its own
     cfg, _ = adopt_ckpt_config(cfg, args, parser, args.structure_ckpt)
     qside = load_ckpt_config(args.sequence_ckpt) or {}
-    if args.sequence_timesteps == parser.get_default("sequence_timesteps") \
+    from e3diff_tpu.utils.presets import _flag_on_command_line
+    if not _flag_on_command_line("sequence_timesteps") \
             and "timesteps" in qside:
         args.sequence_timesteps = qside["timesteps"]
-    if args.sequence_layers == parser.get_default("sequence_layers") \
+    if not _flag_on_command_line("sequence_layers") \
             and "num_hidden_layers" in qside:
         args.sequence_layers = qside["num_hidden_layers"]
-    for key in ("max_seq_len", "pocket_ext", "hidden_size"):
+    from e3diff_tpu.utils.presets import CKPT_BOUND_FIELDS
+    shared = [k for k in CKPT_BOUND_FIELDS
+              if k not in ("timesteps", "num_hidden_layers")]
+    for key in shared:
         if key in qside and qside[key] != getattr(cfg, key):
             parser.error(
                 f"checkpoint configs disagree on {key}: structure="

@@ -45,26 +45,43 @@ def test_adopt_fills_unset_flags(tmp_path):
     cfg = config_from_args(args)
     assert (cfg.pocket_ext, cfg.max_seq_len) == (0, 64)
     cfg, adopted = adopt_ckpt_config(cfg, args, parser,
-                                     str(tmp_path / "final"))
+                                     str(tmp_path / "final"), argv=[])
     assert (cfg.pocket_ext, cfg.max_seq_len) == (4, 128)
     assert set(adopted) == {"pocket_ext", "max_seq_len"}
 
 
 def test_explicit_flag_beats_sidecar(tmp_path):
     save_config(structure_train_config(), str(tmp_path))
-    parser, args = _cli(["--max_seq_len", "96"])
+    argv = ["--max_seq_len", "96"]
+    parser, args = _cli(argv)
     cfg = config_from_args(args)
-    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path))
+    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+                                     argv=argv)
     assert cfg.max_seq_len == 96          # user flag wins
     assert cfg.pocket_ext == 4            # unset flag still adopted
     assert "max_seq_len" not in adopted
+
+
+def test_explicit_flag_equal_to_default_beats_sidecar(tmp_path):
+    """Explicitly repeating the preset default must NOT be overridden
+    by the sidecar (argv-based detection, not value-vs-default)."""
+    save_config(structure_train_config(), str(tmp_path))  # trained L=128
+    argv = ["--max_seq_len", "64"]  # == the sampling preset default
+    parser, args = _cli(argv)
+    cfg = config_from_args(args)
+    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+                                     argv=argv)
+    assert cfg.max_seq_len == 64
+    assert "max_seq_len" not in adopted
+    assert "max_seq_len=64" not in str(adopted)
 
 
 def test_no_sidecar_is_noop(tmp_path):
     parser, args = _cli([])
     cfg = config_from_args(args)
     cfg2, adopted = adopt_ckpt_config(cfg, args, parser,
-                                      str(tmp_path / "weights.pt"))
+                                      str(tmp_path / "weights.pt"),
+                                      argv=[])
     assert cfg2 == cfg and adopted == {}
 
 

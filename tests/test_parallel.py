@@ -278,9 +278,13 @@ def test_distribute_batch_rejects_unpadded_uneven(monkeypatch):
         multihost.distribute_batch(bad, mesh)
 
 
-def test_initialize_multihost_single_process_noop(monkeypatch):
-    """No coordinator + 1 process: plain single-host run, jax.distributed
-    must NOT be initialized."""
+def test_initialize_multihost_attempts_autodetect(monkeypatch):
+    """With nothing configured, initialize IS attempted (TPU pods
+    auto-detect from the environment — skipping it there would make
+    --multihost a silent no-op); an undetectable environment downgrades
+    to a single-process warning instead of crashing."""
+    import warnings
+
     import jax
 
     from e3diff_tpu.parallel import initialize_multihost
@@ -291,9 +295,29 @@ def test_initialize_multihost_single_process_noop(monkeypatch):
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda **kw: calls.append(kw))
+    if hasattr(jax.distributed, "is_initialized"):
+        monkeypatch.setattr(jax.distributed, "is_initialized",
+                            lambda: False)
     pidx, pcount = initialize_multihost()
-    assert calls == []
+    assert calls == [{"coordinator_address": None, "num_processes": None,
+                      "process_id": None}]
     assert (pidx, pcount) == (0, 1)
+
+    # no cluster detectable -> warn + continue single-process
+    def boom(**kw):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert initialize_multihost() == (0, 1)
+    assert any("no cluster detected" in str(w.message) for w in caught)
+
+    # explicitly-configured multi-process failures stay loud
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        initialize_multihost(coordinator_address="10.0.0.1:1",
+                             num_processes=4, process_id=0)
 
 
 def test_initialize_multihost_env_driven(monkeypatch):

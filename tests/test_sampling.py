@@ -241,6 +241,16 @@ def test_ddim_sampler_math_and_wiring():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=0)
     assert float(jnp.max(jnp.abs(f1))) <= np.pi + 1e-6
 
+    # n_steps=1 starts at the NOISE end: one-shot x0 via the denoiser
+    # (regression: linspace(0, T-1, 1) = [0] returned wrapped x_init)
+    f1s, _ = diff.sample_loop_ddim(fake_denoise, jax.random.PRNGKey(1),
+                                   x_init, n_steps=1, eta=0.0)
+    a_top = float(diff.terms["alphas_cumprod"][diff.timesteps - 1])
+    want = np.asarray((x_init - np.sqrt(1 - a_top) * 0.1 * x_init)
+                      / np.sqrt(a_top))
+    want = np.mod(want + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(np.asarray(f1s), want, atol=1e-3)
+
     # eta=1 with different keys must differ (stochastic path live)
     f3, _ = diff.sample_loop_ddim(fake_denoise, jax.random.PRNGKey(1),
                                   x_init, n_steps=7, eta=1.0)
