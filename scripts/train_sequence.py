@@ -103,6 +103,11 @@ def main():
         trainer, state, train_batches, val_batches, rng,
         max_epochs=cfg.max_epochs, min_epochs=cfg.min_epochs,
         ckpt_dir=args.ckpt_dir, ckpt_every=cfg.ckpt_every)
+    if not history:
+        # resumed at/after max_epochs: nothing ran — keep the original
+        # run's history.json instead of clobbering it with []
+        print("done; no epochs to run (already trained to max_epochs)")
+        return
     import json
     with open(os.path.join(args.ckpt_dir, "history.json"), "w") as f:
         json.dump(history, f, indent=1)

@@ -175,3 +175,22 @@ def test_sample_structure_adopts_ckpt_sidecar(trained, monkeypatch):
     with open(out, "rb") as f:
         sampled = pickle.load(f)
     assert len(sampled) >= 1 and sampled[0].shape[1] == 8
+
+
+def test_train_cli_resume_at_completion(trained, monkeypatch, capsys):
+    """Re-running a finished training resumes past max_epochs: must not
+    crash on the empty epoch history and must not clobber history.json."""
+    import json
+
+    base, s_dir, _ = trained
+    with open(f"{s_dir}/history.json") as f:
+        before = json.load(f)
+    assert before  # the original run recorded epochs
+    _run("scripts.train_structure",
+         ["x", "--data_file", "x", "--synthetic", "--synthetic_n", "24",
+          "--ckpt_dir", s_dir, "--max_epochs", "1", "--min_epochs", "1",
+          "--timesteps", "20"] + TINY, monkeypatch)
+    out = capsys.readouterr().out
+    assert "no epochs to run" in out
+    with open(f"{s_dir}/history.json") as f:
+        assert json.load(f) == before  # untouched
