@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from e3diff_tpu.utils.presets import (  # noqa: E402
     add_config_flags,
+    adopt_ckpt_config,
     config_from_args,
     structure_sample_config,
 )
@@ -29,11 +30,18 @@ def main():
     parser.add_argument("--sequences", help="sequence results pickle")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=32)
+    parser.add_argument("--config", default=None,
+                        help="run dir (or its config.json) whose data "
+                             "fields to adopt, so ground truth is built "
+                             "with the same pocket_ext/max_seq_len the "
+                             "samples came from")
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
+    if args.config:
+        cfg, _ = adopt_ckpt_config(cfg, args, parser, args.config)
 
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
     from e3diff_tpu.data.dataset import load_complexes
