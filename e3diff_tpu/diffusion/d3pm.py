@@ -77,16 +77,22 @@ class D3PMDiffusion:
 
     # ---------------- reverse (p) ----------------
 
-    def posterior_probs(self, x_t, pred_logits, s_int):
+    def posterior_probs(self, x_t, pred_logits, s_int, t_int=None):
         """p(x_s | x_t, model) for every token; s_int scalar step (the whole
         batch shares one step, as in the reference loop).
 
         Mirrors sample_p_zs_given_zt_discrete + compute_batched_over0_
         posterior_distribution with Q_t approximated by
         row-normalize(Qsb/Qtb). Returns (B, L, K) normalized probabilities.
+
+        t_int defaults to s_int + 1 (the reference's adjacent step); a
+        larger t generalizes the SAME ratio approximation to a multi-step
+        jump s <- t, enabling skip sampling over a subsequence (the
+        discrete analogue of DDIM; not in the reference).
         """
         b = x_t.shape[0]
-        t_idx = jnp.full((b,), s_int + 1, jnp.int32)
+        t_idx = jnp.full((b,), s_int + 1 if t_int is None else t_int,
+                         jnp.int32)
         s_idx = jnp.full((b,), s_int, jnp.int32)
         # Q3: alpha_bar passed as the transition's "t_normal"
         qtb = self.transition.get_Qt_bar(self.alphas_bar[t_idx])   # (B,K,K)
@@ -107,8 +113,9 @@ class D3PMDiffusion:
         unnorm = jnp.where(rowsum == 0, 1e-5, unnorm)
         return unnorm / unnorm.sum(-1, keepdims=True)
 
-    def posterior_sample(self, key, x_t, pred_logits, s_int, diverse: bool = True):
-        probs = self.posterior_probs(x_t, pred_logits, s_int)
+    def posterior_sample(self, key, x_t, pred_logits, s_int,
+                         diverse: bool = True, t_int=None):
+        probs = self.posterior_probs(x_t, pred_logits, s_int, t_int)
         if diverse:
             draws = jax.random.categorical(key, jnp.log(probs), axis=-1)
         else:
@@ -128,23 +135,45 @@ class D3PMDiffusion:
         x_init,                 # (B, L, K) one-hot noise
         *,
         diverse: bool = True,
+        n_steps: int | None = None,
     ):
         """Reverse loop for s = T-1 .. 0 as lax.scan; at s == 0 the model's
         raw logits are the output (argmax downstream), reference semantics.
 
-        The model timestep is the raw integer step s (quirk Q9)."""
-        b = x_init.shape[0]
-        s_values = jnp.arange(self.timesteps - 1, 0, -1, dtype=jnp.int32)
+        The model timestep is the raw integer step s (quirk Q9).
 
-        def body(carry, s_scalar):
+        n_steps < T runs a skip loop over an evenly spaced descending
+        subsequence of steps: each update jumps x_t -> x_s with the same
+        ratio-approximated transition evaluated at the (s, t) pair — the
+        discrete analogue of DDIM (default None = every step,
+        reference-faithful)."""
+        b = x_init.shape[0]
+        if n_steps is None or n_steps >= self.timesteps - 1:
+            s_values = jnp.arange(self.timesteps - 1, 0, -1,
+                                  dtype=jnp.int32)
+            t_values = s_values + 1
+        else:
+            ladder = np.round(np.linspace(self.timesteps - 1, 1,
+                                          max(n_steps, 1))
+                              ).astype(np.int32)
+            # the first model call sees x_init at its marginal step T-1;
+            # each jump then lands on the next ladder entry
+            s_values = jnp.asarray(ladder)
+            t_values = jnp.asarray(
+                np.concatenate([[self.timesteps], ladder[:-1] + 0]))
+
+        def body(carry, pair):
             x, k = carry
+            s_scalar, t_scalar = pair
             k, k_step = jax.random.split(k)
             s_arr = jnp.full((b, 1), s_scalar, x_init.dtype)
             logits = denoise_fn(s_arr, x)
-            x = self.posterior_sample(k_step, x, logits, s_scalar, diverse)
+            x = self.posterior_sample(k_step, x, logits, s_scalar, diverse,
+                                      t_int=t_scalar)
             return (x, k), None
 
-        (x, key), _ = jax.lax.scan(body, (x_init, key), s_values)
+        (x, key), _ = jax.lax.scan(body, (x_init, key),
+                                   (s_values, t_values))
         # final step s == 0: return raw prediction logits
         final_logits = denoise_fn(jnp.zeros((b, 1), x_init.dtype), x)
         return final_logits

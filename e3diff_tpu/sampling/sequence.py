@@ -29,10 +29,11 @@ from e3diff_tpu.utils.jit_cache import JitSamplerCache
 _SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 
 
-def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True):
+def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True,
+                          n_steps: int | None = None):
     """Returns a jitted f(params, batch, key) -> final logits (B, L, K).
-    Cached per (model, d3pm, diverse)."""
-    cache_key = (id(model), id(d3pm), diverse)
+    Cached per (model, d3pm, diverse, n_steps)."""
+    cache_key = (id(model), id(d3pm), diverse, n_steps)
     hit = _SAMPLER_CACHE.get(cache_key, model, d3pm)
     if hit is not None:
         return hit
@@ -52,7 +53,8 @@ def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True):
                 batch["receptor_attn_mask"],
                 deterministic=True)
 
-        return d3pm.sample_loop(denoise_fn, key_loop, x_init, diverse=diverse)
+        return d3pm.sample_loop(denoise_fn, key_loop, x_init,
+                                diverse=diverse, n_steps=n_steps)
 
     _SAMPLER_CACHE.put(cache_key, run, model, d3pm)
     return run
@@ -70,11 +72,13 @@ def sample_sequence_batches(
     key,
     *,
     diverse: bool = True,
+    n_steps: int | None = None,
     generated_angles: Sequence[np.ndarray] | None = None,
 ) -> dict:
     """Returns dict with structure_ids, true_sequence, predict_sequence,
     recovery_rate lists (the reference's pickled DataFrame columns)."""
-    sampler = make_sequence_sampler(model, d3pm, diverse=diverse)
+    sampler = make_sequence_sampler(model, d3pm, diverse=diverse,
+                                    n_steps=n_steps)
     out = {"structure_ids": [], "true_sequence": [],
            "predict_sequence": [], "recovery_rate": []}
 

@@ -66,6 +66,10 @@ def main():
                         choices=["blosum", "uniform"])
     parser.add_argument("--greedy", action="store_true",
                         help="argmax instead of categorical (diverse) draws")
+    parser.add_argument("--skip_steps", type=int, default=None,
+                        help="run the D3PM reverse loop over N evenly "
+                             "spaced steps instead of all T (discrete "
+                             "skip sampling; not in the reference)")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, sequence_sample_config())
     args = parser.parse_args()
@@ -100,7 +104,7 @@ def main():
 
     results = sample_sequence_batches(
         params, model, d3pm, test_ds.batches(cfg.batch_size), rng,
-        diverse=not args.greedy)
+        diverse=not args.greedy, n_steps=args.skip_steps)
     print(f"mean recovery rate: {np.mean(results['recovery_rate']):.4f}")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)

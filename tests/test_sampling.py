@@ -287,3 +287,29 @@ def test_structure_sampler_ddim_wiring():
     final, traj = run(params, batch, jax.random.PRNGKey(3))
     assert traj.shape[0] == 5 and final.shape == (b, llig, 8)
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_d3pm_skip_sampling():
+    """Skip loop: n_steps=None equals the explicit full ladder bit-for-bit;
+    a short ladder runs the right number of model calls and returns valid
+    logits."""
+    from e3diff_tpu.ops import UniformTransition
+
+    d3pm = D3PMDiffusion.create(UniformTransition(20), timesteps=20)
+    b, l, k = 3, 6, 20
+    x0 = d3pm.init_noise(jax.random.PRNGKey(0), b, l)
+
+    def fake_denoise(s_arr, x):
+        return 2.0 * x - 1.0 + 0.01 * s_arr[:, :, None]
+
+    full_a = d3pm.sample_loop(fake_denoise, jax.random.PRNGKey(1), x0)
+    full_b = d3pm.sample_loop(fake_denoise, jax.random.PRNGKey(1), x0,
+                              n_steps=None)
+    np.testing.assert_array_equal(np.asarray(full_a), np.asarray(full_b))
+
+    short = d3pm.sample_loop(fake_denoise, jax.random.PRNGKey(1), x0,
+                             n_steps=5)
+    assert short.shape == (b, l, k)
+    assert np.isfinite(np.asarray(short)).all()
+    # the short ladder is a different program with different draws
+    assert np.abs(np.asarray(short) - np.asarray(full_a)).max() > 1e-6
