@@ -142,6 +142,14 @@ class LigandBindingSiteData:
         self.max_len = max_len
         self.ligand_max_len = ligand_max_len or max_len
         self.pocket_ext = pocket_ext
+        engines = {d.get("preprocess_engine") for d in complexes} - {None}
+        if len(engines) > 1:
+            import warnings
+
+            warnings.warn(
+                f"complex list mixes preprocessing engines {sorted(engines)}"
+                " — native and mkdssp DSSP features differ on documented "
+                "edge cases; regenerate with one engine.", stacklevel=2)
         complexes = split_complexes(complexes, split)
 
         fields = {k: [] for k in [

@@ -353,6 +353,10 @@ def run_preprocessing(meta_file: str, structure_folder: str,
     from e3diff_tpu.data.dataset import save_complexes
 
     engine = resolve_engine(engine)
+    print(f"preprocessing engine: {engine}"
+          + ("" if engine == "biopython" else
+             " (native DSSP deviates from mkdssp on beta-bulge edge "
+             "cases and uses Shrake-Rupley ASA — see data/dssp.py)"))
     complexes = pd.read_csv(meta_file, sep="\t", names=BIOLIP_META_HEADER)
     complexes.drop_duplicates(subset="pdb_id", inplace=True)
     complexes.reset_index(drop=True, inplace=True)
@@ -367,5 +371,11 @@ def run_preprocessing(meta_file: str, structure_folder: str,
         parsed = [parse_record(r, structure_folder, engine) for r in rows]
 
     records = filter_records(parsed)
+    for r in records:
+        # stamp which DSSP engine produced the features: native vs
+        # mkdssp outputs differ on documented edge cases, so mixing
+        # engines across train/sample datasets must be detectable
+        # downstream (LigandBindingSiteData warns on a mixed corpus)
+        r["preprocess_engine"] = engine
     save_complexes(records, output_file)
     return records

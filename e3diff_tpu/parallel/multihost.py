@@ -62,8 +62,12 @@ def initialize_multihost(coordinator_address: str | None = None,
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
         except Exception as e:
-            if coordinator_address is not None or num_processes is not None:
-                raise  # explicitly-configured multi-process: fail loudly
+            # any of the three configured means the caller expected a
+            # cluster — fail loudly (a silent downgrade would let one
+            # pod worker train alone)
+            if (coordinator_address is not None or num_processes is not None
+                    or process_id is not None):
+                raise
             import warnings
 
             warnings.warn(

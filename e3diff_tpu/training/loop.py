@@ -75,8 +75,12 @@ def train_loop(
             log_fn(f"resumed from epoch {start_epoch}")
 
     history = []
+    # profile the second epoch of this run (skips the compile epoch) —
+    # or the only epoch when just one will execute
+    profile_epoch = (start_epoch + 1 if max_epochs - start_epoch > 1
+                     else start_epoch)
     for epoch in range(start_epoch, max_epochs):
-        if profile_dir is not None and epoch == start_epoch + 1:
+        if profile_dir is not None and epoch == profile_epoch:
             jax.profiler.start_trace(profile_dir)
 
         epoch_metrics = []
@@ -113,7 +117,7 @@ def train_loop(
             val_means = _mean_metrics(val_metrics)
             log_fn(f"Validation Loss:{val_means.get('val_loss', float('nan'))}")
 
-        if profile_dir is not None and epoch == start_epoch + 1:
+        if profile_dir is not None and epoch == profile_epoch:
             jax.profiler.stop_trace()
 
         record = {"epoch": epoch, **train_means, **val_means,

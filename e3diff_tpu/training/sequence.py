@@ -100,6 +100,23 @@ class SequenceTrainer:
         return TrainState.create(apply_fn=self.model.apply, params=params,
                                  tx=self.optimizer)
 
+    def abstract_params(self, rng, sample_batch):
+        """Params tree as ShapeDtypeStructs via eval_shape — for the
+        AdamW decay mask and checkpoint restores without paying a real
+        device init (see StructureTrainer.abstract_params)."""
+        import numpy as np
+
+        b = sample_batch["ligand_seq"].shape[0]
+        return jax.eval_shape(
+            self.model.init, rng, jnp.zeros((b, 1), jnp.float32),
+            np.asarray(sample_batch["ligand_seq"]),
+            np.asarray(sample_batch["ligand_angles"]),
+            np.asarray(sample_batch["ligand_attn_mask"]),
+            np.asarray(sample_batch["receptor_seq"]),
+            np.asarray(sample_batch["receptor_angles"]),
+            np.asarray(sample_batch["receptor_attn_mask"]),
+        )["params"]
+
     def _losses(self, params, batch, rng, deterministic):
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
         b = batch["ligand_seq"].shape[0]

@@ -99,6 +99,21 @@ class StructureTrainer:
         return TrainState.create(apply_fn=self.model.apply, params=params,
                                  tx=self.optimizer)
 
+    def abstract_params(self, rng, sample_batch):
+        """The params tree as ShapeDtypeStructs — enough for the AdamW
+        decay mask (tree paths only) and checkpoint restores, at zero
+        device cost: eval_shape traces without computing, where a real
+        146M init costs ~1-2 min of tunnel dispatch."""
+        b = sample_batch["ligand_angles"].shape[:2]
+        return jax.eval_shape(
+            self.model.init, rng, jnp.zeros((b[0],), jnp.int32),
+            np.asarray(sample_batch["ligand_angles"]),
+            np.asarray(sample_batch["ligand_attn_mask"]),
+            np.asarray(sample_batch["receptor_seq"]),
+            np.asarray(sample_batch["receptor_angles"]),
+            np.asarray(sample_batch["receptor_attn_mask"]),
+        )["params"]
+
     def _losses(self, params, batch, rng, deterministic):
         rng_noise, rng_drop = jax.random.split(rng)
         t, noise, x_t = self.diffusion.noise_batch(

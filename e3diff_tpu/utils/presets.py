@@ -122,15 +122,70 @@ CKPT_BOUND_FIELDS = (
 
 def save_config(cfg: ExperimentConfig, ckpt_dir: str) -> str:
     """Write the experiment config next to the checkpoints so sampling
-    CLIs can recover the trained architecture (config.json sidecar)."""
+    CLIs can recover the trained architecture (config.json sidecar).
+
+    Atomic (temp file + os.replace): concurrent writers — e.g. several
+    multihost processes racing before the process-0 gate existed — can
+    never leave a torn half-written sidecar."""
     import json
     import os
+    import tempfile
 
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, "config.json")
-    with open(path, "w") as f:
-        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, prefix=".config.", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return path
+
+
+def reconcile_run_config(cfg: ExperimentConfig, ckpt_dir: str,
+                         parser=None, argv=None
+                         ) -> tuple[ExperimentConfig, dict]:
+    """Make a training invocation consistent with an existing run dir.
+
+    A resume that does not repeat the original flags must not silently
+    retrain against different data shapes or clobber the sidecar the
+    sampling CLIs rely on. When `ckpt_dir` holds a resumable checkpoint
+    ('last') and a config.json sidecar, every CKPT_BOUND_FIELD that
+    disagrees is either (a) adopted from the sidecar when the flag was
+    NOT given on the command line (resume "just works"), or (b) an error
+    when the flag WAS explicit — the dir contains a different run; use a
+    fresh --ckpt_dir. Non-checkpoint-bound fields (lr, epochs, ...) are
+    free to change. Returns (cfg, adopted)."""
+    import os
+
+    side = load_ckpt_config(ckpt_dir)
+    resumable = os.path.isdir(os.path.join(ckpt_dir, "last"))
+    if side is None or not resumable:
+        return cfg, {}
+    known = _parser_flag_names(parser)
+    adopted, conflicts = {}, []
+    for name in CKPT_BOUND_FIELDS:
+        if name not in side or getattr(cfg, name) == side[name]:
+            continue
+        if _flag_on_command_line(name, argv, known_flags=known):
+            conflicts.append(
+                f"--{name}={getattr(cfg, name)} vs checkpoint {side[name]}")
+        else:
+            adopted[name] = side[name]
+    if conflicts:
+        raise SystemExit(
+            f"{ckpt_dir} holds a resumable run trained with a different "
+            f"configuration: {'; '.join(conflicts)}. Use a fresh "
+            "--ckpt_dir for a new configuration (or drop the flag to "
+            "resume with the checkpoint's value).")
+    if adopted:
+        cfg = dataclasses.replace(cfg, **adopted)
+        pairs = ", ".join(f"{k}={v}" for k, v in adopted.items())
+        print(f"resume: adopted from {ckpt_dir} config.json: {pairs}")
+    return cfg, adopted
 
 
 def load_ckpt_config(ckpt_path: str) -> dict | None:
@@ -149,15 +204,41 @@ def load_ckpt_config(ckpt_path: str) -> dict | None:
     return None
 
 
-def _flag_on_command_line(name: str, argv=None) -> bool:
+def _parser_flag_names(parser) -> list[str] | None:
+    """All long-option names a parser knows (without the '--'), for
+    prefix-abbreviation matching. None when no parser is available."""
+    if parser is None:
+        return None
+    return [s[2:] for a in parser._actions for s in a.option_strings
+            if s.startswith("--")]
+
+
+def _flag_on_command_line(name: str, argv=None, known_flags=None) -> bool:
     """True when --name appeared explicitly (as '--name v' or
     '--name=v'). Value-vs-default comparison can't tell an explicit
-    repeat of the default apart from an unset flag; argv can."""
+    repeat of the default apart from an unset flag; argv can.
+
+    argparse also accepts unambiguous prefix abbreviations ('--timest
+    100' for --timesteps), so with `known_flags` (the parser's option
+    names) any token that argparse would resolve to `name` counts."""
     import sys
 
     argv = sys.argv[1:] if argv is None else argv
-    return any(a == f"--{name}" or a.startswith(f"--{name}=")
-               for a in argv)
+    for a in argv:
+        if not a.startswith("--"):
+            continue
+        tok = a[2:].split("=", 1)[0]
+        if tok == name:
+            return True
+        if known_flags and tok and name.startswith(tok):
+            # abbreviation: argparse resolves it iff exactly one known
+            # flag has this prefix (exact matches always win)
+            if tok in known_flags:
+                continue
+            matches = {f for f in known_flags if f.startswith(tok)}
+            if matches == {name}:
+                return True
+    return False
 
 
 def adopt_ckpt_config(cfg: ExperimentConfig, args, parser, ckpt_path,
@@ -170,11 +251,12 @@ def adopt_ckpt_config(cfg: ExperimentConfig, args, parser, ckpt_path,
     side = load_ckpt_config(ckpt_path)
     if side is None:
         return cfg, {}
+    known = _parser_flag_names(parser)
     adopted = {}
     for name in fields:
         if name not in side:
             continue
-        if _flag_on_command_line(name, argv):
+        if _flag_on_command_line(name, argv, known_flags=known):
             continue  # explicit user override wins
         if getattr(cfg, name) != side[name]:
             adopted[name] = side[name]

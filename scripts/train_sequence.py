@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from e3diff_tpu.utils.presets import (  # noqa: E402
     add_config_flags,
     config_from_args,
+    reconcile_run_config,
     save_config,
     sequence_train_config,
 )
@@ -36,15 +37,21 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
-    save_config(cfg, args.ckpt_dir)  # sidecar for sampling CLIs
     if args.multihost:
+        # before ANY backend touch (including the sidecar's process gate)
         from e3diff_tpu.parallel import initialize_multihost
 
         pidx, pcount = initialize_multihost()
         print(f"multihost: process {pidx}/{pcount}")
 
-
     import jax
+
+    # resuming without repeating the original flags adopts the run's
+    # checkpoint-bound fields (explicit mismatches fail loudly); the
+    # sampling-CLI sidecar is written once, by process 0, atomically
+    cfg, _ = reconcile_run_config(cfg, args.ckpt_dir, parser)
+    if jax.process_index() == 0:
+        save_config(cfg, args.ckpt_dir)
 
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
     from e3diff_tpu.data.dataset import load_complexes
@@ -72,13 +79,11 @@ def main():
         if k not in ("num_valid", "structure_ids")}
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
 
-    tmp = SequenceTrainer(model, d3pm, make_optimizer(
-        None, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
-        max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
-        grad_clip=cfg.gradient_clip))
-    params = tmp.create_state(rng, sample_batch).params
+    # decay mask only needs the params TREE — eval_shape, not a real init
+    abstract = SequenceTrainer(model, d3pm, None).abstract_params(
+        rng, sample_batch)
     trainer = SequenceTrainer(model, d3pm, make_optimizer(
-        params, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
+        abstract, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
         max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
         grad_clip=cfg.gradient_clip))
     state = trainer.create_state(rng, sample_batch)

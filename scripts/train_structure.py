@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from e3diff_tpu.utils.presets import (  # noqa: E402
     add_config_flags,
     config_from_args,
+    reconcile_run_config,
     save_config,
     structure_train_config,
 )
@@ -38,15 +39,21 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
-    save_config(cfg, args.ckpt_dir)  # sidecar for sampling CLIs
     if args.multihost:
+        # before ANY backend touch (including the sidecar's process gate)
         from e3diff_tpu.parallel import initialize_multihost
 
         pidx, pcount = initialize_multihost()
         print(f"multihost: process {pidx}/{pcount}")
 
-
     import jax
+
+    # resuming without repeating the original flags adopts the run's
+    # checkpoint-bound fields (explicit mismatches fail loudly); the
+    # sampling-CLI sidecar is written once, by process 0, atomically
+    cfg, _ = reconcile_run_config(cfg, args.ckpt_dir, parser)
+    if jax.process_index() == 0:
+        save_config(cfg, args.ckpt_dir)
 
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
     from e3diff_tpu.data.dataset import load_complexes
@@ -81,11 +88,12 @@ def main():
             max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
             grad_clip=cfg.gradient_clip)
 
-    # the optimizer's decay mask needs a params example: init once with a
-    # placeholder optimizer, then rebuild with the real mask
-    params = StructureTrainer(model, diffusion, make_opt(None)).create_state(
-        rng, clean_batch).params
-    trainer = StructureTrainer(model, diffusion, make_opt(params))
+    # the optimizer's decay mask only needs the params TREE — eval_shape
+    # provides it for free (a throwaway real init costs ~1-2 min of
+    # tunnel dispatch for the 146M model)
+    abstract = StructureTrainer(model, diffusion, None).abstract_params(
+        rng, clean_batch)
+    trainer = StructureTrainer(model, diffusion, make_opt(abstract))
     state = trainer.create_state(rng, clean_batch)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Model has {n_params} trainable parameters")

@@ -85,6 +85,100 @@ def test_no_sidecar_is_noop(tmp_path):
     assert cfg2 == cfg and adopted == {}
 
 
+def test_abbreviated_flag_beats_sidecar(tmp_path):
+    """argparse accepts unambiguous prefix abbreviations ('--timest 100');
+    an abbreviated explicit flag must count as explicit (advisor r2)."""
+    save_config(structure_train_config(), str(tmp_path))  # timesteps=1000
+    argv = ["--timest", "100"]
+    parser, args = _cli(argv)
+    assert args.timesteps == 100  # argparse resolved the abbreviation
+    cfg = config_from_args(args)
+    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+                                     argv=argv)
+    assert cfg.timesteps == 100
+    assert "timesteps" not in adopted
+
+
+def test_ambiguous_prefix_does_not_count_as_explicit(tmp_path):
+    """A token that is a prefix of several flags would be an argparse
+    error — but a token matching a DIFFERENT flag exactly (e.g. '--lr'
+    while checking 'lr_scheduler') must not mark lr_scheduler explicit."""
+    save_config(
+        structure_train_config(lr_scheduler="Custom"), str(tmp_path))
+    argv = ["--lr", "1e-4"]
+    parser, args = _cli(argv)
+    cfg = config_from_args(args)
+    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+                                     argv=argv,
+                                     fields=("lr_scheduler",))
+    assert adopted == {"lr_scheduler": "Custom"}
+
+
+def _resumable(run_dir):
+    os.makedirs(os.path.join(run_dir, "last"), exist_ok=True)
+
+
+def test_reconcile_adopts_on_flagless_resume(tmp_path):
+    """Resuming without repeating the original flags must adopt the
+    run's checkpoint-bound fields instead of silently overwriting the
+    sidecar with defaults (advisor r2, medium)."""
+    from e3diff_tpu.utils.presets import reconcile_run_config
+
+    run = str(tmp_path / "run")
+    # original run trained ext0 / L=64 (non-default flags)
+    save_config(structure_train_config(pocket_ext=0, max_seq_len=64), run)
+    _resumable(run)
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, structure_train_config())
+    # resume invocation passes nothing -> preset defaults ext4 / L=128
+    cfg = config_from_args(parser.parse_args([]))
+    cfg2, adopted = reconcile_run_config(cfg, run, parser, argv=[])
+    assert (cfg2.pocket_ext, cfg2.max_seq_len) == (0, 64)
+    assert set(adopted) == {"pocket_ext", "max_seq_len"}
+    # training-only knobs stay with the new invocation
+    assert cfg2.max_epochs == cfg.max_epochs
+
+
+def test_reconcile_refuses_explicit_mismatch(tmp_path):
+    from e3diff_tpu.utils.presets import reconcile_run_config
+
+    import pytest
+
+    run = str(tmp_path / "run")
+    save_config(structure_train_config(), run)  # max_seq_len=128
+    _resumable(run)
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, structure_train_config())
+    argv = ["--max_seq_len", "64"]
+    cfg = config_from_args(parser.parse_args(argv))
+    with pytest.raises(SystemExit, match="different configuration"):
+        reconcile_run_config(cfg, run, parser, argv=argv)
+
+
+def test_reconcile_noop_without_resumable_checkpoint(tmp_path):
+    """A sidecar left by a run that never checkpointed doesn't constrain
+    a fresh invocation (nothing to resume)."""
+    from e3diff_tpu.utils.presets import reconcile_run_config
+
+    run = str(tmp_path / "run")
+    save_config(structure_train_config(), run)
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, structure_train_config())
+    argv = ["--max_seq_len", "64"]
+    cfg = config_from_args(parser.parse_args(argv))
+    cfg2, adopted = reconcile_run_config(cfg, run, parser, argv=argv)
+    assert cfg2 == cfg and adopted == {}
+
+
+def test_save_config_atomic_leaves_no_tmp(tmp_path):
+    run = str(tmp_path / "run")
+    save_config(structure_train_config(), run)
+    save_config(structure_sample_config(), run)  # overwrite in place
+    leftovers = [f for f in os.listdir(run) if f.endswith(".tmp")]
+    assert leftovers == []
+    assert load_ckpt_config(run)["pocket_ext"] == 0
+
+
 def test_ckpt_bound_fields_are_config_fields():
     names = {f.name for f in dataclasses.fields(ExperimentConfig)}
     assert set(CKPT_BOUND_FIELDS) <= names
