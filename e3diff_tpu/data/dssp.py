@@ -19,15 +19,25 @@ Faithful parts:
   S bends (kappa > 70 deg);
 * chain breaks where |C(i)-N(i+1)| > 2.5 A, PRO donates no H-bond.
 
-Documented deviations from the mkdssp executable (which cannot run here):
-* beta-bulge ladder merging is not applied (a bulge-linked sheet shows as
-  two ladders -> affects only B/E labels at bulges);
-* PI/poly-proline tie-break subtleties of modern mkdssp versions are not
-  reproduced; priority is H, E, B, G, I, T, S over unassigned;
+Secondary-structure assignment follows mkdssp's (CMBI dssp/xssp 2.x-3.x)
+CalculateSecondaryStructure control flow, including beta-bulge ladder
+merging (two same-type ladders whose strand gaps fit the Kabsch-Sander
+bulge window merge into one E run spanning the bulge residues), sheets
+assigned before helices with H overwriting strand labels, run-wise
+emptiness checks for G/I, the modern preferPiHelices behavior (I may
+claim H residues; `prefer_pi` flag), and T-before-S on loop residues
+only. `scripts/validate_dssp.py` is the cross-environment kit that
+diffs this engine against biopython+mkdssp record-for-record wherever
+those are installed.
+
+Remaining documented deviations from the mkdssp executable (which cannot
+run here):
 * accessibility uses Shrake-Rupley sampling (256 sphere points) with the
   DSSP atom radii + 1.4 A probe instead of DSSP's slice integration, and
   relative ASA divides by the Sander maxima (the table Biopython's DSSP
-  wrapper uses by default).
+  wrapper uses by default);
+* mkdssp's poly-proline (PPII) detection (dssp 4.x adds a 'P' class,
+  remapped to '-' by the reference pipeline anyway) is not reproduced.
 """
 
 from __future__ import annotations
@@ -203,26 +213,43 @@ def _no_break(entries, i, j) -> bool:
     return all(entries[k].connected_prev for k in range(i + 1, j + 1))
 
 
-def assign_secondary_structure(entries: list[_Entry], acceptors) -> list[str]:
+@dataclasses.dataclass
+class _Ladder:
+    """One beta ladder: consecutive same-type bridges, later possibly
+    merged with a bulge-linked neighbour (mkdssp MBridge equivalent).
+    `pairs` holds (i, j) bridge positions in i-ascending order; front/back
+    accessors return min/max exactly like mkdssp's deques (parallel j is
+    pushed back, antiparallel j is pushed front, so front==min, back==max
+    in both orientations)."""
+
+    type: str                      # 'P' | 'A'
+    pairs: list
+
+    @property
+    def i_front(self):
+        return self.pairs[0][0]
+
+    @property
+    def i_back(self):
+        return self.pairs[-1][0]
+
+    @property
+    def j_front(self):
+        return min(p[1] for p in self.pairs)
+
+    @property
+    def j_back(self):
+        return max(p[1] for p in self.pairs)
+
+
+def compute_bridges(entries: list[_Entry], acceptors) -> dict:
+    """(i, j) -> 'P'/'A' bridge map (Kabsch-Sander table 1; mkdssp
+    TestBridge incl. its i-1..i+1 / j-1..j+1 chain-continuity guards)."""
     n = len(entries)
     test = _make_testbond(acceptors)
 
-    # n-turns: CO(i) ... NH(i+stride)
-    turns = {s: [False] * n for s in (3, 4, 5)}
-    for s in (3, 4, 5):
-        for i in range(n - s):
-            if _no_break(entries, i, i + s) and test(i + s, i):
-                turns[s][i] = True
-
-    helix = {s: [False] * n for s in (3, 4, 5)}
-    for s in (3, 4, 5):
-        for i in range(1, n - s):
-            if turns[s][i - 1] and turns[s][i]:
-                for k in range(i, i + s):
-                    helix[s][k] = True
-
-    # bridges (paper definitions; HB(a, b) = CO(a) accepts from NH(b))
     def hb(a, b):
+        # HB(a, b): CO(a) accepts from NH(b)
         return 0 <= a < n and 0 <= b < n and test(b, a)
 
     # candidate (i, j) pairs from stored bonds only — every bridge pattern
@@ -239,45 +266,127 @@ def assign_secondary_structure(entries: list[_Entry], acceptors) -> list[str]:
                     if hi - lo >= 3 and lo >= 1 and hi < n - 1:
                         cand.add((lo, hi))
 
-    bridges = {}  # (i, j) -> 'P' | 'A', i < j
+    bridges = {}
     for (i, j) in sorted(cand):
+        if not (_no_break(entries, i - 1, i + 1)
+                and _no_break(entries, j - 1, j + 1)):
+            continue
         para = ((hb(i - 1, j) and hb(j, i + 1))
                 or (hb(j - 1, i) and hb(i, j + 1)))
         anti = ((hb(i, j) and hb(j, i))
                 or (hb(i - 1, j + 1) and hb(j - 1, i + 1)))
         if para or anti:
             bridges[(i, j)] = "P" if para else "A"
+    return bridges
 
-    # ladders: consecutive bridges of the same type
-    in_ladder = set()
-    for (i, j), t in bridges.items():
-        prev = (i - 1, j - 1) if t == "P" else (i - 1, j + 1)
-        nxt = (i + 1, j + 1) if t == "P" else (i + 1, j - 1)
-        if bridges.get((min(prev), max(prev))) == t or \
-           bridges.get((min(nxt), max(nxt))) == t:
-            in_ladder.add((i, j))
+
+def build_ladders(entries: list[_Entry], bridges: dict) -> list[_Ladder]:
+    """Chain consecutive bridges into ladders, then merge bulge-linked
+    ladders (mkdssp CalculateBetaSheets).
+
+    Bulge criterion (Kabsch-Sander via mkdssp, with its uint arithmetic
+    made explicit): two same-type ladders a, b (sorted by i-start, b's
+    i-strand beginning 1..5 after a's ends, no chain break across either
+    strand span) merge when the j-strand gap is <6 with i-gap <3, or the
+    j-strand gap is <3."""
+    ladders: list[_Ladder] = []
+    for (i, j), t in sorted(bridges.items()):
+        for lad in ladders:
+            if lad.type != t or lad.pairs[-1][0] + 1 != i:
+                continue
+            lj = lad.pairs[-1][1]
+            if (t == "P" and lj + 1 == j) or (t == "A" and lj - 1 == j):
+                lad.pairs.append((i, j))
+                break
+        else:
+            ladders.append(_Ladder(t, [(i, j)]))
+
+    ladders.sort(key=lambda lad: lad.i_front)
+    a_idx = 0
+    while a_idx < len(ladders):
+        b_idx = a_idx + 1
+        while b_idx < len(ladders):
+            a, b = ladders[a_idx], ladders[b_idx]
+            gap_i = b.i_front - a.i_back
+            if (a.type != b.type or not (0 < gap_i < 6)
+                    or not _no_break(entries, min(a.i_front, b.i_front),
+                                     max(a.i_back, b.i_back))
+                    or not _no_break(entries, min(a.j_front, b.j_front),
+                                     max(a.j_back, b.j_back))):
+                b_idx += 1
+                continue
+            if a.type == "P":
+                gap_j = b.j_front - a.j_back
+            else:  # antiparallel: j descends with i, so b lies below a
+                gap_j = a.j_front - b.j_back
+            bulge = ((0 <= gap_j < 6 and 0 < gap_i < 3)
+                     or 0 <= gap_j < 3)
+            if bulge:
+                a.pairs.extend(b.pairs)
+                del ladders[b_idx]
+            else:
+                b_idx += 1
+        a_idx += 1
+    return ladders
+
+
+def assign_secondary_structure(entries: list[_Entry], acceptors,
+                               prefer_pi: bool = True) -> list[str]:
+    """8-class DSSP string following mkdssp's (CMBI dssp/xssp 2.x-3.x)
+    CalculateSecondaryStructure control flow: beta sheets assigned first
+    (E for multi-bridge/merged ladders spanning bulge gaps, B for lone
+    bridges, E never overwritten by B), then H written unconditionally
+    (overwriting sheet labels), G only into runs that are entirely
+    unassigned-or-G, I only into runs of unassigned/I (plus H when
+    `prefer_pi`, the modern-mkdssp default), finally T then S on
+    still-unassigned residues only."""
+    n = len(entries)
+    test = _make_testbond(acceptors)
+
+    # n-turns: CO(i) ... NH(i+stride)
+    turns = {s: [False] * n for s in (3, 4, 5)}
+    for s in (3, 4, 5):
+        for i in range(n - s):
+            if _no_break(entries, i, i + s) and test(i + s, i):
+                turns[s][i] = True
 
     ss = ["-"] * n
+
+    # --- beta sheets first (mkdssp runs CalculateBetaSheets before
+    # CalculateAlphaHelices) ---
+    bridges = compute_bridges(entries, acceptors)
+    for lad in build_ladders(entries, bridges):
+        label = "E" if len(lad.pairs) > 1 else "B"
+        # the full inclusive strand spans — a merged ladder's bulge gap
+        # residues are inside the span and get E too
+        for k in range(lad.i_front, lad.i_back + 1):
+            if ss[k] != "E":
+                ss[k] = label
+        for k in range(lad.j_front, lad.j_back + 1):
+            if ss[k] != "E":
+                ss[k] = label
+
+    # --- helices ---
+    for i in range(1, n - 4):       # H: unconditional (overwrites E/B)
+        if turns[4][i - 1] and turns[4][i]:
+            for k in range(i, i + 4):
+                ss[k] = "H"
+    for i in range(1, n - 3):       # G: run must be all loop-or-G
+        if turns[3][i - 1] and turns[3][i]:
+            if all(ss[k] in ("-", "G") for k in range(i, i + 3)):
+                for k in range(i, i + 3):
+                    ss[k] = "G"
+    pi_ok = ("-", "I", "H") if prefer_pi else ("-", "I")
+    for i in range(1, n - 5):       # I: run all loop-or-I (+H modern)
+        if turns[5][i - 1] and turns[5][i]:
+            if all(ss[k] in pi_ok for k in range(i, i + 5)):
+                for k in range(i, i + 5):
+                    ss[k] = "I"
 
     def put(k, c):
         if 0 <= k < n and ss[k] == "-":
             ss[k] = c
 
-    for i in range(n):              # H first (highest priority)
-        if helix[4][i]:
-            ss[i] = "H"
-    for (i, j) in bridges:          # E (ladders), then isolated B
-        if (i, j) in in_ladder:
-            put(i, "E"), put(j, "E")
-    for (i, j) in bridges:
-        if (i, j) not in in_ladder:
-            put(i, "B"), put(j, "B")
-    for i in range(n):
-        if helix[3][i]:
-            put(i, "G")
-    for i in range(n):
-        if helix[5][i]:
-            put(i, "I")
     for s in (3, 4, 5):             # T: interior of any n-turn
         for i in range(n - s):
             if turns[s][i]:

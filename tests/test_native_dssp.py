@@ -247,6 +247,116 @@ def test_parallel_ladder_marked_e():
     assert ss[10] == "E" and ss[11] == "E"
 
 
+def test_antiparallel_bulge_merges_ladders():
+    """Beta bulge (Kabsch-Sander/mkdssp): two one-bridge ladders linked
+    by a single-residue insertion on one strand merge into ONE ladder —
+    all strand residues INCLUDING the bulge residue get E (without
+    merging each bridge would be an isolated B)."""
+    n = 26
+    bonds = []
+    for i, j in [(4, 20), (5, 18)]:   # residue 19 is the bulge
+        bonds += [(j, i), (i, j)]
+    ss = assign_secondary_structure(_line_entries(n),
+                                    _acceptors_from_bonds(n, bonds))
+    assert [ss[k] for k in (4, 5, 18, 19, 20)] == ["E"] * 5
+    assert "B" not in ss
+
+
+def test_parallel_bulge_merges_ladders():
+    n = 26
+    bonds = []
+    for i, j in [(4, 14), (5, 16)]:   # residue 15 is the bulge
+        bonds += [(j, i - 1), (i + 1, j)]
+    ss = assign_secondary_structure(_line_entries(n),
+                                    _acceptors_from_bonds(n, bonds))
+    assert [ss[k] for k in (4, 5, 14, 15, 16)] == ["E"] * 5
+
+
+def test_wide_bulge_merges_within_limits():
+    """mkdssp merge window: i-gap < 3 allows a j-gap up to 5."""
+    n = 30
+    bonds = []
+    for i, j in [(4, 22), (6, 17)]:   # i-gap 2, j-gap 5
+        bonds += [(j, i), (i, j)]
+    ss = assign_secondary_structure(_line_entries(n),
+                                    _acceptors_from_bonds(n, bonds))
+    assert [ss[k] for k in (4, 5, 6)] == ["E"] * 3
+    assert [ss[k] for k in range(17, 23)] == ["E"] * 6
+
+
+def test_distant_bridges_do_not_merge():
+    """Bridges further apart than the bulge window stay isolated Bs."""
+    n = 30
+    bonds = []
+    for i, j in [(4, 25), (10, 17)]:  # i-gap 6: beyond the window
+        bonds += [(j, i), (i, j)]
+    ss = assign_secondary_structure(_line_entries(n),
+                                    _acceptors_from_bonds(n, bonds))
+    assert ss[4] == "B" and ss[25] == "B"
+    assert ss[10] == "B" and ss[17] == "B"
+    assert "E" not in ss
+
+
+def test_chain_break_blocks_bulge_merge():
+    n = 30
+    bonds = []
+    # same geometry as test_wide_bulge_merges_within_limits ...
+    for i, j in [(4, 22), (6, 17)]:
+        bonds += [(j, i), (i, j)]
+    entries = _line_entries(n)
+    # ... but a chain break inside the j-strand span (between 19 and 20,
+    # away from both bridges' own +-1 guards) blocks the merge
+    entries[20].connected_prev = False
+    ss = assign_secondary_structure(entries,
+                                    _acceptors_from_bonds(n, bonds))
+    assert ss[4] == "B" and ss[6] == "B"
+    assert "E" not in ss
+
+
+def test_g_requires_empty_run_mkdssp_order():
+    """mkdssp assigns sheets before helices and writes G only when the
+    whole 3-residue run is unassigned-or-G: a 3-10 candidate overlapping
+    a strand residue yields NO G (the interior becomes T instead)."""
+    n = 20
+    bonds = [(6, 3), (7, 4)]          # 3-turns at 3 and 4 -> G run 4..6
+    for i, j in [(6, 12), (7, 11)]:   # antiparallel ladder: 6 becomes E
+        bonds += [(j, i), (i, j)]
+    ss = assign_secondary_structure(_line_entries(n),
+                                    _acceptors_from_bonds(n, bonds))
+    assert ss[6] == "E"
+    assert "G" not in ss
+    assert ss[4] == "T" and ss[5] == "T"
+
+
+def test_pi_helix_preference_overwrites_h():
+    """Modern mkdssp (preferPiHelices default): an I run may claim
+    residues already labelled H; with prefer_pi=False it may not."""
+    n = 20
+    bonds = [(7, 3), (8, 4),          # 4-turns at 3,4 -> H at 4..7
+             (9, 4), (10, 5)]         # 5-turns at 4,5 -> I candidate 5..9
+    entries = _line_entries(n)
+    acc = _acceptors_from_bonds(n, bonds)
+    ss = assign_secondary_structure(entries, acc)  # prefer_pi=True
+    assert ss[4] == "H"
+    assert [ss[k] for k in range(5, 10)] == ["I"] * 5
+    ss2 = assign_secondary_structure(entries, acc, prefer_pi=False)
+    assert [ss2[k] for k in range(4, 8)] == ["H"] * 4
+    assert "I" not in ss2
+    assert ss2[8] == "T" and ss2[9] == "T"
+
+
+def test_helix_overwrites_sheet():
+    """mkdssp writes H unconditionally after sheets: overlap -> H."""
+    n = 20
+    bonds = [(8, 4), (9, 5)]          # 4-turns at 4,5 -> H at 5..8
+    for i, j in [(5, 15), (6, 14)]:
+        bonds += [(j, i), (i, j)]     # ladder overlapping the helix
+    ss = assign_secondary_structure(_line_entries(n),
+                                    _acceptors_from_bonds(n, bonds))
+    assert [ss[k] for k in range(5, 9)] == ["H"] * 4
+    assert ss[14] == "E" and ss[15] == "E"
+
+
 # ---------------------------------------------------------------------------
 # accessibility
 # ---------------------------------------------------------------------------
@@ -375,3 +485,27 @@ def test_native_run_preprocessing_pipeline(tmp_path):
     assert len(records) == 1
     assert records[0]["structure_ids"]["pdb_id"] == "1abc"
     assert len(load_complexes(out)) == 1
+    # engine stamp: datasets record which DSSP engine produced them so a
+    # mixed-engine corpus is detectable downstream (advisor r2)
+    assert records[0]["preprocess_engine"] == "native"
+    assert load_complexes(out)[0]["preprocess_engine"] == "native"
+
+
+def test_mixed_engine_corpus_warns():
+    from e3diff_tpu.data.dataset import LigandBindingSiteData
+
+    def fake_record(engine):
+        n = 12
+        return {
+            "amino_acid": ["A"] * n,
+            "angle_features": np.zeros((n, 8), np.float32),
+            "ligand_mask": np.arange(n) >= 6,
+            "pocket_mask": np.arange(n) < 3,
+            "structure_ids": {"pdb_id": "xxxx"},
+            "preprocess_engine": engine,
+        }
+
+    with pytest.warns(UserWarning, match="mixes preprocessing engines"):
+        LigandBindingSiteData(
+            [fake_record("native"), fake_record("biopython")],
+            split=None, max_len=16, pocket_ext=0)
