@@ -256,6 +256,127 @@ def test_mesh_sharded_sampling_matches_single_device():
                                atol=1e-4)
 
 
+def test_tp_sharded_sampling_matches_single_device():
+    """The Megatron tp rules must hold INSIDE the sampler scan too, not
+    just in train steps: a (dp=4, tp=2)-sharded structure sampler
+    reproduces the single-device samples (single step — float reorder
+    noise only)."""
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    mesh = make_mesh(dp=4, tp=2)
+    model = StructureDenoiser(_cfg(False), _cfg(True))
+    diff = GaussianAngleDiffusion.cosine(1)
+    batch = _batch(8)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((8,), jnp.int32),
+                        *[jnp.asarray(batch[k]) for k in
+                          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+                           "receptor_angles", "receptor_attn_mask"]])["params"]
+    sampler = make_structure_sampler(model, diff, return_trajectory=False)
+    key = jax.random.PRNGKey(3)
+
+    single, _ = sampler(params, jbatch, key)
+    sharded, _ = sampler(shard_params(params, mesh),
+                         shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=1e-4)
+
+
+def test_tp_sharded_sequence_sampler_matches_single_device():
+    """tp-sharded D3PM sampler: the final raw logits (deterministic given
+    the scan trajectory) match single-device within float-reorder noise."""
+    from e3diff_tpu.diffusion import D3PMDiffusion
+    from e3diff_tpu.models import SequenceDenoiser
+    from e3diff_tpu.ops import BlosumTransition
+    from e3diff_tpu.sampling.sequence import make_sequence_sampler
+
+    mesh = make_mesh(dp=4, tp=2)
+    model = SequenceDenoiser(_cfg(False), _cfg(True))
+    d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=2)
+    batch = _batch(8)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((8, 1)),
+        *[jnp.asarray(batch[k]) for k in
+          ["ligand_seq", "ligand_angles", "ligand_attn_mask",
+           "receptor_seq", "receptor_angles", "receptor_attn_mask"]]
+    )["params"]
+    sampler = make_sequence_sampler(model, d3pm, diverse=True)
+    key = jax.random.PRNGKey(5)
+
+    single = sampler(params, jbatch, key)
+    sharded = sampler(shard_params(params, mesh),
+                      shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_dp_sharded_sampling_statistical_equivalence_t50():
+    """VERDICT r2 item 3a: beyond the T=1 bit-equality check — run the
+    FULL 50-step sampler dp-sharded on a briefly-trained model and assert
+    the per-feature angle marginals stay within sampling noise of the
+    single-device sampler's (noise floor calibrated by a second
+    single-device run with a different key)."""
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    mesh = make_mesh(dp=8, tp=1)
+    model = StructureDenoiser(_cfg(False), _cfg(True))
+    diff = GaussianAngleDiffusion.cosine(50)
+    batch = _batch(32)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    rng = jax.random.PRNGKey(7)
+    params = model.init(rng, jnp.zeros((32,), jnp.int32),
+                        *[jnp.asarray(batch[k]) for k in
+                          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+                           "receptor_angles", "receptor_attn_mask"]])["params"]
+    # a few train steps so the sampled distribution is model-shaped, not
+    # just wrapped noise (a broken sharding has something to disagree with)
+    trainer = StructureTrainer(
+        model, diff, make_optimizer(params, base_lr=2e-3,
+                                    max_epochs=10, steps_per_epoch=5))
+    state = trainer.create_state(rng, batch)
+    state = state.replace(params=params)
+    for i in range(10):
+        rng, srng = jax.random.split(rng)
+        state, _ = trainer.train_step(state, dict(jbatch), srng)
+    params = state.params
+
+    sampler = make_structure_sampler(model, diff, return_trajectory=False)
+    mask = np.asarray(batch["ligand_attn_mask"]).astype(bool)
+
+    def marginals(x):
+        """(B, L, 8) -> (8, n_bins) per-feature angle histograms over
+        valid ligand positions."""
+        x = np.asarray(x, np.float64)
+        hists = []
+        for f in range(8):
+            h, _ = np.histogram(x[..., f][mask], bins=12,
+                                range=(-np.pi, np.pi))
+            hists.append(h / max(h.sum(), 1))
+        return np.stack(hists)
+
+    def tv(a, b):
+        return 0.5 * np.abs(a - b).sum(-1)
+
+    single1, _ = sampler(params, jbatch, jax.random.PRNGKey(11))
+    single2, _ = sampler(params, jbatch, jax.random.PRNGKey(12))
+    sharded, _ = sampler(params, shard_batch(batch, mesh),
+                         jax.random.PRNGKey(13))
+    assert np.isfinite(np.asarray(sharded)).all()
+    assert (np.abs(np.asarray(sharded)) <= np.pi + 1e-5).all()
+
+    m1, m2, ms = marginals(single1), marginals(single2), marginals(sharded)
+    noise_floor = tv(m1, m2)          # two single-device keys
+    tv_sharded = tv(ms, m1)
+    # sharded sampling is another draw from the same distribution: its TV
+    # to a single-device draw must be comparable to the key-to-key noise
+    assert tv_sharded.max() < max(0.3, noise_floor.max() + 0.15), (
+        tv_sharded, noise_floor)
+    assert tv_sharded.mean() < noise_floor.mean() + 0.1, (
+        tv_sharded, noise_floor)
+
+
 def test_distribute_batch_rejects_unpadded_uneven(monkeypatch):
     """With a mocked 4-process world, an unpadded local batch (rows !=
     host_batch_rows(n)) must raise loudly instead of reaching
@@ -318,6 +439,13 @@ def test_initialize_multihost_attempts_autodetect(monkeypatch):
     with _pytest.raises(RuntimeError):
         initialize_multihost(coordinator_address="10.0.0.1:1",
                              num_processes=4, process_id=0)
+    # ... including when ONLY process_id was configured (a run set up
+    # with just JAX_PROCESS_ID must not silently train alone)
+    with _pytest.raises(RuntimeError):
+        initialize_multihost(process_id=3)
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    with _pytest.raises(RuntimeError):
+        initialize_multihost()
 
 
 def test_initialize_multihost_env_driven(monkeypatch):
