@@ -1,0 +1,140 @@
+"""utils/xplane.py: wire-format decode + aggregation, pinned against a
+hand-encoded XSpace proto (no tensorflow in this environment — the module
+exists precisely because of that)."""
+
+import os
+import struct
+
+import numpy as np
+
+from e3diff_tpu.utils.xplane import (
+    bucketize,
+    device_op_totals,
+    parse_message,
+    top_ops,
+    xspace_planes,
+)
+
+
+# --- tiny protobuf writer (wire format) ---
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def _int_field(num: int, v: int) -> bytes:
+    return _field(num, 0) + _varint(v & (1 << 64) - 1)
+
+
+def _event(meta_id, offset_ps, duration_ps) -> bytes:
+    return (_int_field(1, meta_id) + _int_field(2, offset_ps)
+            + _int_field(3, duration_ps))
+
+
+def _event_metadata(mid, name) -> bytes:
+    return _int_field(1, mid) + _len_field(2, name.encode())
+
+
+def _map_entry(key, value_bytes) -> bytes:
+    return _int_field(1, key) + _len_field(2, value_bytes)
+
+
+def build_xspace(plane_name, ops):
+    """ops: list of (name, [durations_ps])."""
+    meta = b""
+    lines_events = b""
+    for mid, (name, durs) in enumerate(ops, start=1):
+        meta += _len_field(4, _map_entry(mid, _event_metadata(mid, name)))
+        for k, d in enumerate(durs):
+            lines_events += _len_field(4, _event(mid, 1000 * k, d))
+    line = _int_field(1, 7) + _len_field(2, b"XLA Ops") + lines_events
+    plane = (_int_field(1, 1) + _len_field(2, plane_name.encode())
+             + _len_field(3, line) + meta)
+    return _len_field(1, plane)
+
+
+def test_parse_roundtrip(tmp_path):
+    ops = [
+        ("fusion.1", [500_000, 500_000]),       # elementwise fusion
+        ("dot.7", [2_000_000]),                 # matmul
+        ("reduce.3", [300_000]),                # reduce
+        ("reshape.9", [100_000, 100_000, 100_000]),
+        ("exotic-op.2", [50_000]),              # lands in 'other'
+    ]
+    space = build_xspace("/device:TPU:0", ops)
+    # a host plane that must be EXCLUDED by the device pattern
+    space += build_xspace("/host:CPU", [("python", [9_999_999])])
+
+    run = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(run)
+    path = str(run / "host.xplane.pb")
+    with open(path, "wb") as f:
+        f.write(space)
+
+    planes = xspace_planes(path)
+    assert [p["name"] for p in planes] == ["/device:TPU:0", "/host:CPU"]
+    assert planes[0]["lines"][0]["name"] == "XLA Ops"
+    assert len(planes[0]["lines"][0]["events"]) == 8
+
+    totals = device_op_totals(str(tmp_path))
+    assert totals["dot.7"] == [2_000_000, 1]
+    assert totals["fusion.1"] == [1_000_000, 2]
+    assert "python" not in totals  # host plane filtered out
+
+    buckets = bucketize(totals, steps=1)
+    np.testing.assert_allclose(buckets["matmul"], 2e6 / 1e9)
+    np.testing.assert_allclose(buckets["elementwise_fusion"], 1e6 / 1e9)
+    np.testing.assert_allclose(buckets["reshape_copy"], 3e5 / 1e9)
+    np.testing.assert_allclose(buckets["other"], 5e4 / 1e9)
+
+    top = top_ops(totals, n=2)
+    assert top[0][0] == "dot.7" and top[1][0] == "fusion.1"
+
+
+def test_varint_multibyte():
+    payload = _int_field(3, 300) + _int_field(3, 2 ** 40)
+    m = parse_message(payload)
+    assert m[3] == [300, 2 ** 40]
+
+
+def test_real_trace_smoke(tmp_path):
+    """An actual jax.profiler trace on CPU parses and aggregates (plane
+    naming differs across backends — just require non-empty planes)."""
+    import jax
+    import jax.numpy as jnp
+
+    logdir = str(tmp_path / "trace")
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((128, 128))
+    float(f(x))  # compile outside the trace
+    jax.profiler.start_trace(logdir)
+    float(f(x))
+    jax.profiler.stop_trace()
+
+    from e3diff_tpu.utils.xplane import find_xplane_files
+
+    files = find_xplane_files(logdir)
+    assert files, "no xplane files written"
+    planes = xspace_planes(files[0])
+    assert planes
+    totals = device_op_totals(logdir, plane_pattern=r"")
+    assert totals  # something executed somewhere
