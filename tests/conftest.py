@@ -30,6 +30,20 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules dominated by torch-side reference computations (CPU-only torch,
+# 1 core here — they are most of the suite's wall clock). Marked so the
+# fast half runs locally with:  pytest -m "not torch_parity"
+TORCH_PARITY_MODULES = {
+    "test_model_parity", "test_end_to_end_parity", "test_torch_export",
+    "test_diffusion_parity",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in TORCH_PARITY_MODULES:
+            item.add_marker(pytest.mark.torch_parity)
+
 
 @pytest.fixture(scope="session")
 def rng():

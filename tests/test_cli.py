@@ -194,3 +194,16 @@ def test_train_cli_resume_at_completion(trained, monkeypatch, capsys):
     assert "no epochs to run" in out
     with open(f"{s_dir}/history.json") as f:
         assert json.load(f) == before  # untouched
+
+
+def test_preprocess_check_env_probe(monkeypatch, capsys):
+    """README runbook step 0: the --check-env probe reports which engine
+    engine=auto will run. In this environment (no biopython/mkdssp) that
+    is the native engine, exit code 0 (pandas present)."""
+    with pytest.raises(SystemExit) as e:
+        _run("scripts.preprocess", ["x", "--check-env"], monkeypatch)
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "MISS biopython" in out
+    assert "native engine" in out
+    assert "ok   pandas" in out
