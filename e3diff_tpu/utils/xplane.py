@@ -27,6 +27,7 @@ import glob
 import gzip
 import os
 import re
+import struct
 
 
 # ---------------------------------------------------------------------------
@@ -100,12 +101,36 @@ def _parse_line(buf: bytes) -> dict:
     }
 
 
-def _parse_event_metadata(buf: bytes) -> dict:
+def _parse_stat(buf: bytes, stat_names: dict) -> tuple[str, object]:
+    """One XStat -> (stat name, value). Value field is whichever of
+    double(2)/uint64(3)/int64(4)/str(5)/bytes(6)/ref(7) is present; a ref
+    points back into the plane's stat_metadata table."""
+    m = parse_message(buf)
+    name = stat_names.get(m.get(1, [0])[0], "?")
+    if 5 in m:
+        val = m[5][0].decode("utf-8", "replace")
+    elif 2 in m:
+        val = struct.unpack("<d", m[2][0].to_bytes(8, "little"))[0]
+    elif 7 in m:
+        val = stat_names.get(m[7][0], m[7][0])
+    elif 4 in m:
+        val = _sint(m[4][0])
+    elif 3 in m:
+        val = m[3][0]
+    elif 6 in m:
+        val = m[6][0]
+    else:
+        val = None
+    return name, val
+
+
+def _parse_event_metadata(buf: bytes, stat_names: dict) -> dict:
     m = parse_message(buf)
     return {
         "id": m.get(1, [0])[0],
         "name": m.get(2, [b""])[0].decode("utf-8", "replace"),
         "display_name": m.get(4, [b""])[0].decode("utf-8", "replace"),
+        "stats": dict(_parse_stat(s, stat_names) for s in m.get(5, [])),
     }
 
 
@@ -116,15 +141,23 @@ def _parse_map_entry(buf: bytes, value_parser) -> tuple[int, dict]:
     return key, val
 
 
+def _parse_stat_metadata(buf: bytes) -> str:
+    return parse_message(buf).get(2, [b"?"])[0].decode("utf-8", "replace")
+
+
 def _parse_plane(buf: bytes) -> dict:
     m = parse_message(buf)
-    event_meta = dict(_parse_map_entry(e, _parse_event_metadata)
-                      for e in m.get(4, []))
+    stat_names = dict(_parse_map_entry(e, _parse_stat_metadata)
+                      for e in m.get(5, []))
+    event_meta = dict(
+        _parse_map_entry(e, lambda b: _parse_event_metadata(b, stat_names))
+        for e in m.get(4, []))
     return {
         "id": m.get(1, [0])[0],
         "name": m.get(2, [b""])[0].decode("utf-8", "replace"),
         "lines": [_parse_line(ln) for ln in m.get(3, [])],
         "event_metadata": event_meta,
+        "stat_metadata": stat_names,
     }
 
 
@@ -146,14 +179,22 @@ def find_xplane_files(logdir: str) -> list[str]:
 # aggregation
 # ---------------------------------------------------------------------------
 
+# whole-program / step-marker lines would double-count the op lines
+_NON_OP_LINES = {"Steps", "XLA Modules", "TC Overlay", "Framework Ops",
+                 "Source code"}
+
+
 def device_op_totals(logdir_or_file: str,
                      plane_pattern: str = r"TPU|/device:") -> dict:
-    """Aggregate device-plane op time: {event name: [total_ps, count]}.
+    """Aggregate device-plane op time:
+    {op name: {ps, count, category, flops, bytes}}.
 
-    Uses the XLA-op lines of every plane whose name matches
-    `plane_pattern` (TPU device planes; pass r'' for all). Events on a
-    device plane are HLO op executions; the same op name accumulates
-    across lines/steps."""
+    Uses the op lines (Steps/XLA Modules excluded — they re-cover the
+    same time) of every plane matching `plane_pattern` (TPU device
+    planes; pass r'' for all). `category` is the profiler's per-op
+    `hlo_category` stat when present ('convolution fusion',
+    'loop fusion', ...), `flops`/`bytes` its static cost stats — enough
+    for per-bucket roofline arithmetic without tensorboard."""
     files = ([logdir_or_file] if logdir_or_file.endswith((".pb", ".pb.gz"))
              else find_xplane_files(logdir_or_file))
     totals: dict = {}
@@ -163,46 +204,77 @@ def device_op_totals(logdir_or_file: str,
                 continue
             meta = plane["event_metadata"]
             for line in plane["lines"]:
+                if line["name"] in _NON_OP_LINES:
+                    continue
                 for ev in line["events"]:
-                    name = meta.get(ev["metadata_id"], {}).get("name", "?")
-                    slot = totals.setdefault(name, [0, 0])
-                    slot[0] += ev["duration_ps"]
-                    slot[1] += 1
+                    m = meta.get(ev["metadata_id"], {})
+                    # TPU device planes often carry a numeric `name` with
+                    # the real HLO op text in `display_name` — prefer it
+                    name = m.get("display_name") or m.get("name", "?")
+                    stats = m.get("stats", {})
+                    slot = totals.setdefault(name, {
+                        "ps": 0, "count": 0,
+                        "category": stats.get("hlo_category", ""),
+                        "flops": float(stats.get("flops", 0) or 0),
+                        "bytes": float(stats.get("bytes_accessed", 0) or 0),
+                    })
+                    slot["ps"] += ev["duration_ps"]
+                    slot["count"] += 1
     return totals
 
 
 _BUCKET_RULES = [
-    ("matmul", r"^(fusion\.)?(dot|convolution)|^%?dot"),
-    ("reduce_fusion", r"^(loop_)?(reduce|convert)[-_.]|reduce_fusion"),
-    ("reshape_copy", r"^(reshape|copy|transpose|bitcast)"),
-    ("elementwise_fusion", r"^(loop_)?fusion"),
+    ("matmul", r"^%?(fusion\.)?(dot|convolution)"),
+    ("reduce_fusion", r"^%?(loop_|bitcast_)*(reduce|convert)[-_.]"
+                      r"|reduce_fusion"),
+    ("reshape_copy", r"^%?(reshape|copy|transpose|bitcast)"),
+    ("elementwise_fusion", r"^%?(loop_)?fusion"),
     ("dynamic_slice", r"dynamic[-_]?(update[-_]?)?slice"),
     ("rng", r"rng|random"),
-    ("infeed_outfeed", r"infeed|outfeed|copy[-_]?(start|done)"),
+    ("infeed_outfeed", r"infeed|outfeed"),
 ]
 
 
 def bucketize(totals: dict, steps: int = 1) -> dict:
-    """Collapse per-op totals into coarse buckets (ms per step).
-
-    TPU HLO names are stable enough for regex bucketing: 'fusion.N' with
-    a dot root shows up as 'fusion.N' only, so when available prefer the
-    category embedded in names like 'fusion.3' + display names. Ops that
-    match no rule land in 'other'."""
+    """Collapse per-op totals into coarse buckets (ms per step), keyed by
+    the profiler's own hlo_category when present ('convolution fusion' =
+    MXU matmul/conv work, 'loop fusion' = elementwise, ...), else by op
+    name regex. Ops matching nothing land in 'other'."""
     out: dict = {}
-    for name, (ps, _cnt) in totals.items():
-        bucket = "other"
-        for b, pat in _BUCKET_RULES:
-            if re.search(pat, name):
-                bucket = b
-                break
-        out[bucket] = out.get(bucket, 0.0) + ps
+    for name, info in totals.items():
+        bucket = info["category"] or "other"
+        if bucket == "other":
+            for b, pat in _BUCKET_RULES:
+                if re.search(pat, name):
+                    bucket = b
+                    break
+        out[bucket] = out.get(bucket, 0.0) + info["ps"]
     return {k: round(v / 1e9 / max(steps, 1), 6)
             for k, v in sorted(out.items(), key=lambda kv: -kv[1])}
 
 
 def top_ops(totals: dict, n: int = 20, steps: int = 1) -> list[tuple]:
-    """The n most expensive ops: (name, ms_per_step, count_per_step)."""
-    rows = sorted(totals.items(), key=lambda kv: -kv[1][0])[:n]
-    return [(name, round(ps / 1e9 / max(steps, 1), 4),
-             round(cnt / max(steps, 1), 1)) for name, (ps, cnt) in rows]
+    """The n most expensive ops:
+    (name, category, ms_per_step, count_per_step, GFLOP/s achieved)."""
+    rows = sorted(totals.items(), key=lambda kv: -kv[1]["ps"])[:n]
+    return [(name, info["category"],
+             round(info["ps"] / 1e9 / max(steps, 1), 4),
+             round(info["count"] / max(steps, 1), 1),
+             round(info["flops"] * info["count"] / max(steps, 1)
+                   / (info["ps"] / 1e12) / 1e9, 1) if info["ps"] else 0.0)
+            for name, info in rows]
+
+
+def roofline(totals: dict, steps: int = 1) -> dict:
+    """Aggregate achieved FLOP/s and bytes/s over the op lines — the
+    numerator for an MFU estimate that excludes host gaps."""
+    ps = sum(i["ps"] for i in totals.values())
+    flops = sum(i["flops"] * i["count"] for i in totals.values())
+    byts = sum(i["bytes"] * i["count"] for i in totals.values())
+    sec = ps / 1e12
+    return {
+        "device_ms_per_step": round(ps / 1e9 / max(steps, 1), 3),
+        "gflops_per_step": round(flops / 1e9 / max(steps, 1), 4),
+        "achieved_tflops_per_s": round(flops / sec / 1e12, 3) if sec else 0,
+        "achieved_gbytes_per_s": round(byts / sec / 1e9, 1) if sec else 0,
+    }

@@ -177,7 +177,8 @@ def run_train_exp(name, *, b=64, l=64, steps=10, peak=V5E_BF16_PEAK,
 def run_train_profile(name, *, b=64, l=64, steps=5, **cfg_kw):
     import jax
 
-    from e3diff_tpu.utils.xplane import bucketize, device_op_totals, top_ops
+    from e3diff_tpu.utils.xplane import (
+        bucketize, device_op_totals, roofline, top_ops)
 
     model, d3pm, trainer, state, batch, jbatch = _build(b, l, **cfg_kw)
     rng = jax.random.PRNGKey(1)
@@ -193,6 +194,7 @@ def run_train_profile(name, *, b=64, l=64, steps=5, **cfg_kw):
     totals = device_op_totals(logdir)
     log_result(name, b=b, l=l,
                buckets_ms_per_step=bucketize(totals, steps=steps),
+               roofline=roofline(totals, steps=steps),
                top_ops=top_ops(totals, n=12, steps=steps))
 
 
@@ -238,13 +240,15 @@ def run_sample_exp(name, *, b=64, l_lig=16, l_rec=64, n_steps=None,
                ms_per_forward=round(elapsed / fwd * 1000, 3),
                peptides_per_s=round(b / elapsed, 1))
     if profile:
-        from e3diff_tpu.utils.xplane import bucketize, device_op_totals
+        from e3diff_tpu.utils.xplane import (
+            bucketize, device_op_totals, roofline)
 
         logdir = "/tmp/r3_seq_profile_sample"
         with jax.profiler.trace(logdir):
             run_synced(jax.random.PRNGKey(9))
-        rec["buckets_ms_per_forward"] = bucketize(
-            device_op_totals(logdir), steps=fwd)
+        totals = device_op_totals(logdir)
+        rec["buckets_ms_per_forward"] = bucketize(totals, steps=fwd)
+        rec["roofline"] = roofline(totals, steps=fwd)
     log_result(name, **rec)
 
 

@@ -92,8 +92,9 @@ def test_parse_roundtrip(tmp_path):
     assert len(planes[0]["lines"][0]["events"]) == 8
 
     totals = device_op_totals(str(tmp_path))
-    assert totals["dot.7"] == [2_000_000, 1]
-    assert totals["fusion.1"] == [1_000_000, 2]
+    assert (totals["dot.7"]["ps"], totals["dot.7"]["count"]) == (2_000_000, 1)
+    assert (totals["fusion.1"]["ps"],
+            totals["fusion.1"]["count"]) == (1_000_000, 2)
     assert "python" not in totals  # host plane filtered out
 
     buckets = bucketize(totals, steps=1)
@@ -104,6 +105,56 @@ def test_parse_roundtrip(tmp_path):
 
     top = top_ops(totals, n=2)
     assert top[0][0] == "dot.7" and top[1][0] == "fusion.1"
+
+
+def _stat_str(mid, s) -> bytes:
+    return _int_field(1, mid) + _len_field(5, s.encode())
+
+
+def _stat_uint(mid, v) -> bytes:
+    return _int_field(1, mid) + _int_field(3, v)
+
+
+def test_event_metadata_stats_decode(tmp_path):
+    """hlo_category / flops / bytes_accessed stats (the TPU profiler's
+    per-op annotations) are decoded and drive bucketize + roofline."""
+    from e3diff_tpu.utils.xplane import roofline
+
+    # stat_metadata table: 24=hlo_category, 28=flops, 33=bytes_accessed
+    stat_meta = b"".join(
+        _len_field(5, _map_entry(k, _int_field(1, k)
+                                 + _len_field(2, n.encode())))
+        for k, n in [(24, "hlo_category"), (28, "flops"),
+                     (33, "bytes_accessed")])
+    em = (_int_field(1, 1) + _len_field(2, b"1")
+          + _len_field(4, b"fusion.42")          # display_name
+          + _len_field(5, _stat_str(24, "convolution fusion"))
+          + _len_field(5, _stat_uint(28, 2_000_000))
+          + _len_field(5, _stat_uint(33, 4096)))
+    line = (_int_field(1, 7) + _len_field(2, b"XLA Ops")
+            + _len_field(4, _event(1, 0, 1_000_000)))   # 1 us
+    mods = (_int_field(1, 8) + _len_field(2, b"XLA Modules")
+            + _len_field(4, _event(1, 0, 999_000_000)))  # must be ignored
+    plane = (_int_field(1, 1) + _len_field(2, b"/device:TPU:0")
+             + _len_field(3, line) + _len_field(3, mods)
+             + _len_field(4, _map_entry(1, em)) + stat_meta)
+    run = tmp_path / "plugins" / "profile" / "r"
+    os.makedirs(run)
+    with open(run / "h.xplane.pb", "wb") as f:
+        f.write(_len_field(1, plane))
+
+    totals = device_op_totals(str(tmp_path))
+    info = totals["fusion.42"]
+    assert info["category"] == "convolution fusion"
+    assert info["flops"] == 2_000_000
+    assert info["bytes"] == 4096
+    assert info["ps"] == 1_000_000  # XLA Modules line NOT double-counted
+
+    assert bucketize(totals) == {"convolution fusion": 1e6 / 1e9}
+    r = roofline(totals, steps=1)
+    assert r["gflops_per_step"] == 2e6 / 1e9 * 1  # 0.002 GFLOP
+    # 2 MFLOP in 1 us = 2 TFLOP/s
+    np.testing.assert_allclose(r["achieved_tflops_per_s"], 2.0)
 
 
 def test_varint_multibyte():
