@@ -45,6 +45,29 @@ def _clean(batch: dict) -> dict:
             if k not in ("num_valid", "structure_ids")}
 
 
+def _log_profile_summary(profile_dir: str, n_steps: int,
+                         log_fn: Callable[[str], None]) -> None:
+    """Print the per-op bucket/roofline digest of a just-stopped trace.
+
+    Makes --profile_dir self-interpreting without tensorboard (which is
+    absent here): the same utils/xplane.py decode the perf harness uses.
+    Never lets a parse failure kill a training run."""
+    try:
+        from e3diff_tpu.utils.xplane import (
+            bucketize, device_op_totals, roofline)
+
+        totals = device_op_totals(profile_dir)
+        if not totals:
+            return
+        buckets = bucketize(totals, steps=max(n_steps, 1))
+        roof = roofline(totals, steps=max(n_steps, 1))
+        log_fn(f"profile [{profile_dir}] device buckets (ms/step): "
+               + ", ".join(f"{k}={v}" for k, v in buckets.items()))
+        log_fn(f"profile roofline: {roof}")
+    except Exception as e:  # diagnostics must not break training
+        log_fn(f"profile summary unavailable: {type(e).__name__}: {e}")
+
+
 def train_loop(
     trainer: Any,                    # StructureTrainer or SequenceTrainer
     state: Any,
@@ -119,6 +142,7 @@ def train_loop(
 
         if profile_dir is not None and epoch == profile_epoch:
             jax.profiler.stop_trace()
+            _log_profile_summary(profile_dir, n_steps, log_fn)
 
         record = {"epoch": epoch, **train_means, **val_means,
                   "steps_per_sec": steps_per_sec,

@@ -179,24 +179,42 @@ def find_xplane_files(logdir: str) -> list[str]:
 # aggregation
 # ---------------------------------------------------------------------------
 
-# whole-program / step-marker lines would double-count the op lines
+# whole-program / step-marker lines would double-count the op lines, and
+# "Async XLA Ops" events span their full in-flight window (overlapping
+# compute and each other) — summing them inflates device time ~8x
+# (measured: 1322 ms of async-copy spans over a 184 ms exclusive-op
+# trace). They are overlap, not exclusive time; see async_copy_totals.
 _NON_OP_LINES = {"Steps", "XLA Modules", "TC Overlay", "Framework Ops",
-                 "Source code"}
+                 "Source code", "Async XLA Ops"}
+
+
+def latest_run_files(logdir: str) -> list[str]:
+    """xplane files of only the most recent trace run under logdir.
+
+    jax.profiler.trace creates a fresh timestamped run directory per
+    trace; aggregating a logdir that was traced twice would silently mix
+    runs (measured: a tiny-model smoke merged into a full-size profile)."""
+    files = find_xplane_files(logdir)
+    if not files:
+        return []
+    latest = os.path.dirname(sorted(files)[-1])
+    return [f for f in files if os.path.dirname(f) == latest]
 
 
 def device_op_totals(logdir_or_file: str,
                      plane_pattern: str = r"TPU|/device:") -> dict:
-    """Aggregate device-plane op time:
+    """Aggregate device-plane exclusive op time:
     {op name: {ps, count, category, flops, bytes}}.
 
-    Uses the op lines (Steps/XLA Modules excluded — they re-cover the
-    same time) of every plane matching `plane_pattern` (TPU device
-    planes; pass r'' for all). `category` is the profiler's per-op
-    `hlo_category` stat when present ('convolution fusion',
-    'loop fusion', ...), `flops`/`bytes` its static cost stats — enough
-    for per-bucket roofline arithmetic without tensorboard."""
+    Uses the op lines (Steps/XLA Modules/Async excluded — they re-cover
+    or overlap the same time) of every plane matching `plane_pattern`
+    (TPU device planes; pass r'' for all), from the LATEST trace run
+    only. `category` is the profiler's per-op `hlo_category` stat when
+    present ('convolution fusion', 'loop fusion', ...), `flops`/`bytes`
+    its static cost stats — enough for per-bucket roofline arithmetic
+    without tensorboard."""
     files = ([logdir_or_file] if logdir_or_file.endswith((".pb", ".pb.gz"))
-             else find_xplane_files(logdir_or_file))
+             else latest_run_files(logdir_or_file))
     totals: dict = {}
     for path in files:
         for plane in xspace_planes(path):
@@ -263,6 +281,33 @@ def top_ops(totals: dict, n: int = 20, steps: int = 1) -> list[tuple]:
              round(info["flops"] * info["count"] / max(steps, 1)
                    / (info["ps"] / 1e12) / 1e9, 1) if info["ps"] else 0.0)
             for name, info in rows]
+
+
+def async_copy_totals(logdir_or_file: str,
+                      plane_pattern: str = r"TPU|/device:") -> dict:
+    """Span-time of the "Async XLA Ops" line (latest run), per category:
+    {category: {ps, count}}. These are in-flight windows of async copies
+    (HBM prefetches etc.) that OVERLAP compute — report them next to, not
+    inside, exclusive device time."""
+    files = ([logdir_or_file] if logdir_or_file.endswith((".pb", ".pb.gz"))
+             else latest_run_files(logdir_or_file))
+    out: dict = {}
+    for path in files:
+        for plane in xspace_planes(path):
+            if not re.search(plane_pattern, plane["name"]):
+                continue
+            meta = plane["event_metadata"]
+            for line in plane["lines"]:
+                if line["name"] != "Async XLA Ops":
+                    continue
+                for ev in line["events"]:
+                    m = meta.get(ev["metadata_id"], {})
+                    cat = (m.get("stats", {}).get("hlo_category", "")
+                           or "async")
+                    slot = out.setdefault(cat, {"ps": 0, "count": 0})
+                    slot["ps"] += ev["duration_ps"]
+                    slot["count"] += 1
+    return out
 
 
 def roofline(totals: dict, steps: int = 1) -> dict:

@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--dp", type=int, default=None,
                         help="data-parallel extent (default: all devices)")
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--profile_dir", default=None,
+                        help="jax.profiler trace dir; profiles one epoch "
+                             "and prints the device-bucket digest")
     add_config_flags(parser, structure_train_config())
     args = parser.parse_args()
     if not args.synthetic and not args.data_file:
@@ -115,7 +118,8 @@ def main():
     state, history = train_loop(
         trainer, state, train_batches, val_batches, rng,
         max_epochs=cfg.max_epochs, min_epochs=cfg.min_epochs,
-        ckpt_dir=args.ckpt_dir, ckpt_every=cfg.ckpt_every)
+        ckpt_dir=args.ckpt_dir, ckpt_every=cfg.ckpt_every,
+        profile_dir=args.profile_dir)
     if not history:
         # resumed at/after max_epochs: nothing ran — keep the original
         # run's history.json instead of clobbering it with []

@@ -54,17 +54,29 @@ def _map_entry(key, value_bytes) -> bytes:
     return _int_field(1, key) + _len_field(2, value_bytes)
 
 
-def build_xspace(plane_name, ops):
-    """ops: list of (name, [durations_ps])."""
+def build_xspace(plane_name, ops, async_ops=()):
+    """ops: list of (name, [durations_ps]); async_ops land on the
+    "Async XLA Ops" line that exclusive-time totals must skip."""
     meta = b""
     lines_events = b""
+    mid = 0
     for mid, (name, durs) in enumerate(ops, start=1):
         meta += _len_field(4, _map_entry(mid, _event_metadata(mid, name)))
         for k, d in enumerate(durs):
             lines_events += _len_field(4, _event(mid, 1000 * k, d))
     line = _int_field(1, 7) + _len_field(2, b"XLA Ops") + lines_events
     plane = (_int_field(1, 1) + _len_field(2, plane_name.encode())
-             + _len_field(3, line) + meta)
+             + _len_field(3, line))
+    if async_ops:
+        async_events = b""
+        for j, (name, durs) in enumerate(async_ops, start=mid + 1):
+            meta += _len_field(4, _map_entry(j, _event_metadata(j, name)))
+            for k, d in enumerate(durs):
+                async_events += _len_field(4, _event(j, 1000 * k, d))
+        aline = (_int_field(1, 8) + _len_field(2, b"Async XLA Ops")
+                 + async_events)
+        plane += _len_field(3, aline)
+    plane += meta
     return _len_field(1, plane)
 
 
@@ -105,6 +117,40 @@ def test_parse_roundtrip(tmp_path):
 
     top = top_ops(totals, n=2)
     assert top[0][0] == "dot.7" and top[1][0] == "fusion.1"
+
+
+def test_async_line_excluded_from_exclusive_totals(tmp_path):
+    """Async XLA Ops spans overlap compute — they must not inflate
+    device_op_totals, but async_copy_totals must see them."""
+    from e3diff_tpu.utils.xplane import async_copy_totals
+
+    space = build_xspace(
+        "/device:TPU:0", [("dot.1", [1_000_000])],
+        async_ops=[("copy.5", [40_000_000, 40_000_000])])
+    run = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(run)
+    with open(run / "h.xplane.pb", "wb") as f:
+        f.write(space)
+
+    totals = device_op_totals(str(tmp_path))
+    assert set(totals) == {"dot.1"}
+    assert totals["dot.1"]["ps"] == 1_000_000
+    spans = async_copy_totals(str(tmp_path))
+    assert sum(v["ps"] for v in spans.values()) == 80_000_000
+    assert sum(v["count"] for v in spans.values()) == 2
+
+
+def test_latest_run_only(tmp_path):
+    """Two trace runs under one logdir: totals must come from the newest
+    run directory only (mixing runs double-counts)."""
+    for run_name, dur in [("run_a_old", 7_000_000), ("run_b_new", 1_000_000)]:
+        run = tmp_path / "plugins" / "profile" / run_name
+        os.makedirs(run)
+        with open(run / "h.xplane.pb", "wb") as f:
+            f.write(build_xspace("/device:TPU:0", [("dot.1", [dur])]))
+
+    totals = device_op_totals(str(tmp_path))
+    assert totals["dot.1"]["ps"] == 1_000_000  # newest run only
 
 
 def _stat_str(mid, s) -> bytes:
