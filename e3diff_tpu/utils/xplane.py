@@ -187,6 +187,12 @@ def find_xplane_files(logdir: str) -> list[str]:
 _NON_OP_LINES = {"Steps", "XLA Modules", "TC Overlay", "Framework Ops",
                  "Source code", "Async XLA Ops"}
 
+# control-flow ops appear on the op line with a span covering their whole
+# body, whose inner ops are ALSO on the line (measured on a lax.scan
+# sampler: 'while' span 2.61 ms/step next to 2.66 ms/step of inner ops —
+# a clean 2x double count). Parent spans, not exclusive time.
+_CONTROL_FLOW_CATEGORIES = {"while", "conditional", "call", "fusion input"}
+
 
 def latest_run_files(logdir: str) -> list[str]:
     """xplane files of only the most recent trace run under logdir.
@@ -212,32 +218,53 @@ def device_op_totals(logdir_or_file: str,
     only. `category` is the profiler's per-op `hlo_category` stat when
     present ('convolution fusion', 'loop fusion', ...), `flops`/`bytes`
     its static cost stats — enough for per-bucket roofline arithmetic
-    without tensorboard."""
+    without tensorboard.
+
+    CPU fallback: the CPU (host-platform) backend writes no /device:
+    plane at all — HLO op events land on the '/host:CPU' plane's
+    'tf_XLAPjRtCpuClient/<tid>' thread lines (no category/flops stats,
+    but real op names + durations). When the device scan comes up empty,
+    aggregate those instead so --profile_dir digests work in CPU tests
+    too."""
     files = ([logdir_or_file] if logdir_or_file.endswith((".pb", ".pb.gz"))
              else latest_run_files(logdir_or_file))
+    planes = [p for path in files for p in xspace_planes(path)]
+    totals = _op_totals_from(
+        [p for p in planes if re.search(plane_pattern, p["name"])],
+        lambda line: line["name"] not in _NON_OP_LINES)
+    if not totals and plane_pattern == r"TPU|/device:":
+        totals = _op_totals_from(
+            [p for p in planes if p["name"] == "/host:CPU"],
+            lambda line: line["name"].startswith("tf_XLAPjRtCpuClient"))
+    return totals
+
+
+def _op_totals_from(planes: list[dict], line_filter) -> dict:
     totals: dict = {}
-    for path in files:
-        for plane in xspace_planes(path):
-            if not re.search(plane_pattern, plane["name"]):
+    for plane in planes:
+        meta = plane["event_metadata"]
+        for line in plane["lines"]:
+            if not line_filter(line):
                 continue
-            meta = plane["event_metadata"]
-            for line in plane["lines"]:
-                if line["name"] in _NON_OP_LINES:
+            for ev in line["events"]:
+                m = meta.get(ev["metadata_id"], {})
+                # TPU device planes often carry a numeric `name` with
+                # the real HLO op text in `display_name` — prefer it
+                name = m.get("display_name") or m.get("name", "?")
+                stats = m.get("stats", {})
+                if stats.get("hlo_category") in _CONTROL_FLOW_CATEGORIES:
                     continue
-                for ev in line["events"]:
-                    m = meta.get(ev["metadata_id"], {})
-                    # TPU device planes often carry a numeric `name` with
-                    # the real HLO op text in `display_name` — prefer it
-                    name = m.get("display_name") or m.get("name", "?")
-                    stats = m.get("stats", {})
-                    slot = totals.setdefault(name, {
-                        "ps": 0, "count": 0,
-                        "category": stats.get("hlo_category", ""),
-                        "flops": float(stats.get("flops", 0) or 0),
-                        "bytes": float(stats.get("bytes_accessed", 0) or 0),
-                    })
-                    slot["ps"] += ev["duration_ps"]
-                    slot["count"] += 1
+                # CPU-plane bookkeeping events, not op time
+                if name.startswith(("ThreadpoolListener::", "end: ")):
+                    continue
+                slot = totals.setdefault(name, {
+                    "ps": 0, "count": 0,
+                    "category": stats.get("hlo_category", ""),
+                    "flops": float(stats.get("flops", 0) or 0),
+                    "bytes": float(stats.get("bytes_accessed", 0) or 0),
+                })
+                slot["ps"] += ev["duration_ps"]
+                slot["count"] += 1
     return totals
 
 

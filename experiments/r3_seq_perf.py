@@ -41,8 +41,9 @@ V5E_F32_PEAK = 98.5e12
 
 def log_result(name, **kw):
     rec = {"exp": name, **kw}
-    with open(RESULTS, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    if os.environ.get("E3DIFF_EXP_TINY") != "1":  # smokes: stdout only
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
 
 
@@ -64,14 +65,17 @@ def _full_cfgs(max_len, **kw):
     return enc, dec
 
 
-def _train_batch(b, l):
+def _train_batch(b, l, l_lig=None):
+    """l = receptor length; l_lig defaults to l (the reference pads the
+    ligand to max_len too) — pass 16 for the production bucketed shape."""
+    l_lig = l if l_lig is None else l_lig
     rng = np.random.default_rng(0)
     eye = np.eye(20, dtype=np.float32)
     return {
-        "ligand_seq": eye[rng.integers(0, 20, (b, l))],
-        "ligand_angles": rng.uniform(-np.pi, np.pi, (b, l, 8)).astype(
+        "ligand_seq": eye[rng.integers(0, 20, (b, l_lig))],
+        "ligand_angles": rng.uniform(-np.pi, np.pi, (b, l_lig, 8)).astype(
             np.float32),
-        "ligand_attn_mask": np.ones((b, l), np.float32),
+        "ligand_attn_mask": np.ones((b, l_lig), np.float32),
         "receptor_seq": eye[rng.integers(0, 20, (b, l))],
         "receptor_angles": rng.uniform(-np.pi, np.pi, (b, l, 8)).astype(
             np.float32),
@@ -94,7 +98,7 @@ def _sample_batch(b, l_lig, l_rec):
     }
 
 
-def _build(b, l, **cfg_kw):
+def _build(b, l, l_lig=None, **cfg_kw):
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +110,7 @@ def _build(b, l, **cfg_kw):
     enc, dec = _full_cfgs(l, **cfg_kw)
     model = SequenceDenoiser(enc, dec)
     d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=50)
-    batch = _train_batch(b, l)
+    batch = _train_batch(b, l, l_lig)
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
     params = model.init(
@@ -139,13 +143,14 @@ def _step_flops(trainer, state, jbatch):
         return None
 
 
-def run_train_exp(name, *, b=64, l=64, steps=10, peak=V5E_BF16_PEAK,
-                  **cfg_kw):
+def run_train_exp(name, *, b=64, l=64, l_lig=None, steps=10,
+                  peak=V5E_BF16_PEAK, **cfg_kw):
     import jax
     import jax.numpy as jnp  # noqa: F401
 
     t0 = time.perf_counter()
-    model, d3pm, trainer, state, batch, jbatch = _build(b, l, **cfg_kw)
+    model, d3pm, trainer, state, batch, jbatch = _build(
+        b, l, l_lig, **cfg_kw)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     init_s = time.perf_counter() - t0
 
@@ -165,7 +170,7 @@ def run_train_exp(name, *, b=64, l=64, steps=10, peak=V5E_BF16_PEAK,
     flops = _step_flops(trainer, state, jbatch)
     mfu = (round(flops / (per_step_ms / 1000) / peak, 4)
            if flops else None)
-    log_result(name, b=b, l=l, n_params=n_params,
+    log_result(name, b=b, l=l, l_lig=l_lig or l, n_params=n_params,
                compile_s=round(compile_s, 1), init_s=round(init_s, 1),
                per_step_ms=round(per_step_ms, 2),
                steps_per_s=round(1000 / per_step_ms, 2),
@@ -262,6 +267,9 @@ EXPS = {
                                        dtype=None),
     "train_l128": lambda: run_train_exp("train_l128", b=64, l=128),
     "train_profile": lambda: run_train_profile("train_profile", b=64),
+    "train_lig16": lambda: run_train_exp("train_lig16", b=64, l_lig=16),
+    "train_lig16_b256": lambda: run_train_exp("train_lig16_b256", b=256,
+                                              l_lig=16),
     "sample_b64": lambda: run_sample_exp("sample_b64", profile=True),
     "sample_b128": lambda: run_sample_exp("sample_b128", b=128),
     "sample_b256": lambda: run_sample_exp("sample_b256", b=256),
@@ -271,6 +279,11 @@ EXPS = {
 
 
 def main():
+    # reruns of the same experiment skip the 60-250 s remote compile
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--exps", required=True,
                         help=f"comma list from {sorted(EXPS)}")

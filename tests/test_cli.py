@@ -207,3 +207,18 @@ def test_preprocess_check_env_probe(monkeypatch, capsys):
     assert "MISS biopython" in out
     assert "native engine" in out
     assert "ok   pandas" in out
+
+
+def test_train_cli_profile_dir(tmp_path, monkeypatch, capsys):
+    """--profile_dir traces one epoch and prints the device-bucket digest
+    (training/loop.py _log_profile_summary over utils/xplane.py)."""
+    prof = str(tmp_path / "prof")
+    _run("scripts.train_sequence",
+         ["x", "--data_file", "x", "--synthetic", "--synthetic_n", "16",
+          "--ckpt_dir", str(tmp_path / "run"), "--max_epochs", "1",
+          "--min_epochs", "1", "--timesteps", "10",
+          "--profile_dir", prof] + TINY, monkeypatch)
+    out = capsys.readouterr().out
+    assert "device buckets (ms/step)" in out
+    assert "profile roofline" in out
+    assert os.path.isdir(os.path.join(prof, "plugins", "profile"))

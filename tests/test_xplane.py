@@ -203,6 +203,33 @@ def test_event_metadata_stats_decode(tmp_path):
     np.testing.assert_allclose(r["achieved_tflops_per_s"], 2.0)
 
 
+def test_control_flow_spans_excluded(tmp_path):
+    """A 'while' (lax.scan) op's span covers its body, whose inner ops
+    are also on the op line — the parent span must not double-count."""
+    stat_meta = _len_field(5, _map_entry(
+        24, _int_field(1, 24) + _len_field(2, b"hlo_category")))
+    ems = b""
+    for mid, (name, cat) in [(1, (b"while.1", "while")),
+                             (2, (b"fusion.9", "loop fusion"))]:
+        em = (_int_field(1, mid) + _len_field(2, str(mid).encode())
+              + _len_field(4, name)
+              + _len_field(5, _stat_str(24, cat)))
+        ems += _len_field(4, _map_entry(mid, em))
+    line = (_int_field(1, 7) + _len_field(2, b"XLA Ops")
+            + _len_field(4, _event(1, 0, 5_000_000))    # while span
+            + _len_field(4, _event(2, 100, 4_000_000)))  # inner op
+    plane = (_int_field(1, 1) + _len_field(2, b"/device:TPU:0")
+             + _len_field(3, line) + ems + stat_meta)
+    run = tmp_path / "plugins" / "profile" / "r"
+    os.makedirs(run)
+    with open(run / "h.xplane.pb", "wb") as f:
+        f.write(_len_field(1, plane))
+
+    totals = device_op_totals(str(tmp_path))
+    assert set(totals) == {"fusion.9"}
+    assert totals["fusion.9"]["ps"] == 4_000_000
+
+
 def test_varint_multibyte():
     payload = _int_field(3, 300) + _int_field(3, 2 ** 40)
     m = parse_message(payload)
