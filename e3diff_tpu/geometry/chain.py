@@ -45,15 +45,15 @@ def _columns(angles, names):
     return {n: angles[:, i] for i, n in enumerate(names)}
 
 
-def create_chain_from_angles(
+def backbone_coords_from_angles(
     angles: np.ndarray,
-    out_fname: str,
     feature_names: Sequence[str] = tuple(FEATURE_NAMES),
     center_coords: bool = True,
-) -> str:
-    """angles: (n_res, n_feat) sampled values. Returns the written path, or
-    "" when coordinates contain NaN (reference NaN guard,
-    create_pdb.py:393-395)."""
+) -> np.ndarray | None:
+    """angles: (n_res, n_feat) sampled values -> (4*n_res, 3) N/CA/C/O
+    coords via NERF under the Q1 column mapping, or None when the rebuilt
+    coordinates contain NaN (reference NaN guard, create_pdb.py:393-395)."""
+    angles = np.asarray(angles)
     cols = _columns(angles, feature_names)
     # distances have exactly one ':' in the name; angles otherwise
     dists = {n: v for n, v in cols.items() if n.count(":") == 1}
@@ -76,8 +76,24 @@ def create_chain_from_angles(
 
     coords = nerf_build_backbone_np(center=center_coords, **kwargs)
     if np.any(np.isnan(coords)):
-        return ""
+        return None
     assert coords.shape == (angles.shape[0] * 4, 3)
+    return coords
+
+
+def create_chain_from_angles(
+    angles: np.ndarray,
+    out_fname: str,
+    feature_names: Sequence[str] = tuple(FEATURE_NAMES),
+    center_coords: bool = True,
+) -> str:
+    """angles: (n_res, n_feat) sampled values. Returns the written path, or
+    "" when coordinates contain NaN (reference NaN guard,
+    create_pdb.py:393-395)."""
+    coords = backbone_coords_from_angles(angles, feature_names,
+                                         center_coords)
+    if coords is None:
+        return ""
     return write_backbone_pdb(coords, out_fname)
 
 

@@ -23,8 +23,9 @@ def _atom_line(serial: int, name: str, res_id: int, xyz, element: str) -> str:
             f"          {element:>2s}")
 
 
-def write_backbone_pdb(coords: np.ndarray, out_fname: str) -> str:
-    """coords: (4n, 3) in N, CA, C, O residue order. Returns out_fname."""
+def backbone_pdb_text(coords: np.ndarray) -> str:
+    """Format (4n, 3) N/CA/C/O coords as PDB text (ATOM + CONECT + END).
+    In-memory variant of write_backbone_pdb for serving responses."""
     coords = np.asarray(coords)
     assert len(coords) % 4 == 0, f"Expected 4N coords, got {len(coords)}"
     n_res = len(coords) // 4
@@ -60,8 +61,13 @@ def write_backbone_pdb(coords: np.ndarray, out_fname: str) -> str:
             lines.append("CONECT" + f"{serial:5d}" +
                          "".join(f"{p:5d}" for p in chunk))
     lines.append("END")
+    return "\n".join(lines) + "\n"
+
+
+def write_backbone_pdb(coords: np.ndarray, out_fname: str) -> str:
+    """coords: (4n, 3) in N, CA, C, O residue order. Returns out_fname."""
     with open(out_fname, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(backbone_pdb_text(coords))
     return out_fname
 
 

@@ -1,0 +1,133 @@
+"""Micro-batching request queue for TPU serving.
+
+The TPU runs fixed-shape batches; the HTTP front-end receives requests one
+at a time. The batcher bridges them: a single worker thread drains the
+queue, coalescing up to ``max_batch`` slots per device run (waiting at
+most ``max_wait_ms`` after the first request so a lone request is never
+stuck behind an empty queue), and resolves each request's Future with its
+slice of the batched result. This is the standard TPU serving pattern —
+latency is bounded by max_wait + one batch, throughput approaches the
+batch-64 sampler rate under load (BENCHMARKS.md: DDIM-25 = 598
+peptides/s/chip at B=64).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Sequence
+
+
+class MicroBatcher:
+    """Coalesces unit requests into batched calls on a worker thread.
+
+    run_batch: Callable[[list[item]], Sequence[result]] — must return one
+    result per item, in order. Exceptions fail every request in the batch.
+    """
+
+    def __init__(self, run_batch: Callable, max_batch: int = 64,
+                 max_wait_ms: float = 25.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._run_batch = run_batch
+        self._max_batch = max_batch
+        self._max_wait_s = max_wait_ms / 1000.0
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "batched_slots": 0,
+                       "errors": 0}
+        self._latencies: collections.deque = collections.deque(maxlen=1024)
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="e3diff-microbatcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, item) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
+        fut: Future = Future()
+        with self._lock:
+            self._stats["requests"] += 1
+        self._queue.put((item, fut, time.monotonic()))
+        return fut
+
+    def shutdown(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        self._thread.join(timeout)
+        # fail anything still queued so clients don't hang
+        while True:
+            try:
+                _, fut, _ = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher shut down"))
+
+    def stats(self) -> dict:
+        with self._lock:
+            out = dict(self._stats)
+            lats = sorted(self._latencies)
+        out["queue_depth"] = self._queue.qsize()
+        out["mean_batch_occupancy"] = (
+            out["batched_slots"] / out["batches"] if out["batches"] else 0.0)
+        if lats:
+            out["latency_ms_p50"] = 1e3 * lats[len(lats) // 2]
+            out["latency_ms_p95"] = 1e3 * lats[int(len(lats) * 0.95)]
+        return out
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> list:
+        """Block for the first request, then coalesce until the batch is
+        full or max_wait elapses."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(items) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            payloads = [it[0] for it in items]
+            futures = [it[1] for it in items]
+            t_enq = [it[2] for it in items]
+            try:
+                results = self._run_batch(payloads)
+                if len(results) != len(payloads):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(payloads)} items")
+            except Exception as exc:  # noqa: BLE001 — forwarded to callers
+                with self._lock:
+                    self._stats["errors"] += len(futures)
+                    self._stats["batches"] += 1
+                    self._stats["batched_slots"] += len(futures)
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                continue
+            now = time.monotonic()
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["batched_slots"] += len(futures)
+                for t0 in t_enq:
+                    self._latencies.append(now - t0)
+            for fut, res in zip(futures, results):
+                if not fut.done():
+                    fut.set_result(res)

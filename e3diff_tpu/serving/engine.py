@@ -1,0 +1,287 @@
+"""Design engine: checkpoints -> batched pocket-conditioned peptide design.
+
+One self-contained object owning both trained models and their jitted
+samplers. A design request is a preprocessing-schema complex record (the
+reference's biolip.pt element layout, clean_data/data_preprocessing.py:
+838-893) or a bare pocket built with :func:`pocket_record`; the engine
+featurizes requests into the fixed serving shapes, runs the structure
+sampler (DDIM fast path by default — BENCHMARKS.md: quality parity with
+the faithful 1000-step loop at 20-40x fewer forwards), rebuilds backbone
+PDBs via NERF, and inverse-folds the generated angles with the uniform
+transition (the reference's end-to-end pairing,
+sample_by_generated_angles.py:253).
+
+TPU serving shape discipline: every batch is (batch_size, ligand_bucket /
+receptor max_len) — requests are padded into slots, never reshaped, so
+the two jitted sampler programs compile once at startup (`warmup`) and
+every request afterwards reuses them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Sequence
+
+import numpy as np
+
+from e3diff_tpu.data.dataset import AA_VOCAB, LigandBindingSiteData
+from e3diff_tpu.geometry.chain import backbone_coords_from_angles
+from e3diff_tpu.geometry.pdb import backbone_pdb_text
+
+
+@dataclasses.dataclass
+class DesignResult:
+    sequence: str                 # inverse-folded peptide sequence
+    angles: np.ndarray            # (peptide_len, 8) generated backbone angles
+    pdb: str | None               # NERF-reconstructed backbone PDB text
+    recovery_rate: float | None   # vs the record's true ligand sequence,
+                                  # None for synthetic-ligand pocket records
+
+
+def pocket_record(pocket_seq: str,
+                  pocket_angles: np.ndarray,
+                  peptide_length: int,
+                  pocket_ss: str | None = None,
+                  numerical_features: np.ndarray | None = None) -> dict:
+    """Build a design-request record from a bare pocket.
+
+    The supplied residues are used VERBATIM as the extended pocket (the
+    record is marked ``already_extended`` and featurized with ext=0), so
+    callers decide exactly what context the model sees; a dummy
+    poly-alanine ligand of ``peptide_length`` fills the slots the sampler
+    designs into (its angles start as noise, its sequence is never a
+    recovery target — ``synthetic_ligand`` suppresses the metric)."""
+    pocket_angles = np.asarray(pocket_angles, np.float32)
+    n_pocket = len(pocket_seq)
+    if pocket_angles.shape != (n_pocket, 8):
+        raise ValueError(
+            f"pocket_angles shape {pocket_angles.shape} != ({n_pocket}, 8)")
+    if peptide_length < 1:
+        raise ValueError("peptide_length must be >= 1")
+    bad = sorted(set(pocket_seq) - set(AA_VOCAB))
+    if bad:
+        raise ValueError(f"unknown residues in pocket_seq: {bad}")
+    n = n_pocket + peptide_length
+    angles = np.concatenate(
+        [pocket_angles, np.zeros((peptide_length, 8), np.float32)])
+    lig_mask = np.zeros(n, bool)
+    lig_mask[n_pocket:] = True
+    return {
+        "amino_acid": list(pocket_seq + "A" * peptide_length),
+        "angle_features": angles,
+        "ligand_mask": lig_mask,
+        "pocket_mask": ~lig_mask,
+        "already_extended": True,
+        "synthetic_ligand": True,
+        "structure_ids": {"pdb_id": "request", "ligand_chain": "A"},
+    }
+
+
+class DesignEngine:
+    """Loads both checkpoints once and serves batched design requests."""
+
+    def __init__(self, cfg, structure_model, structure_params,
+                 structure_diffusion, sequence_model, sequence_params,
+                 sequence_d3pm, *, batch_size: int = 64,
+                 sampler: str = "ddim", ddim_steps: int = 25,
+                 ddim_eta: float = 1.0, step: int = 1,
+                 seq_skip_steps: int | None = None, diverse: bool = True,
+                 sequence_timesteps: int | None = None):
+        from e3diff_tpu.sampling.sequence import make_sequence_sampler
+        from e3diff_tpu.sampling.structure import make_structure_sampler
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.structure_model = structure_model
+        self.structure_params = structure_params
+        self.sequence_model = sequence_model
+        self.sequence_params = sequence_params
+        self.sequence_timesteps = (sequence_timesteps
+                                   or sequence_d3pm.timesteps)
+        self._struct_run = make_structure_sampler(
+            structure_model, structure_diffusion, step=step,
+            return_trajectory=False, sampler=sampler,
+            ddim_steps=ddim_steps, ddim_eta=ddim_eta)
+        self._seq_run = make_sequence_sampler(
+            sequence_model, sequence_d3pm, diverse=diverse,
+            n_steps=seq_skip_steps)
+        # one chip, two cached jit programs: serialize device use so
+        # concurrent front-end threads don't interleave dispatches
+        self._device_lock = threading.Lock()
+        self._warm = False
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoints(cls, structure_ckpt: str, sequence_ckpt: str,
+                         **kwargs) -> "DesignEngine":
+        """Build an engine from two trained checkpoints, adopting each
+        architecture from its config.json sidecar (the same contract the
+        sampling CLIs use — utils/presets.py)."""
+        import dataclasses as dc
+
+        import jax
+
+        from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
+        from e3diff_tpu.ops.transitions import (
+            BlosumTransition,
+            UniformTransition,
+        )
+        from e3diff_tpu.utils.builders import (
+            build_sequence_model,
+            build_structure_diffusion,
+            build_structure_model,
+        )
+        from e3diff_tpu.utils.params_io import (
+            load_sequence_params,
+            load_structure_params,
+        )
+        from e3diff_tpu.utils.presets import (
+            CKPT_BOUND_FIELDS,
+            load_ckpt_config,
+            structure_sample_config,
+        )
+
+        transition = kwargs.pop("transition", "uniform")
+        batch_size = kwargs.get("batch_size", 64)
+
+        sside = load_ckpt_config(structure_ckpt) or {}
+        qside = load_ckpt_config(sequence_ckpt) or {}
+        cfg = structure_sample_config()
+        cfg_fields = {f.name for f in dc.fields(cfg)}
+        cfg = dc.replace(cfg, **{k: v for k, v in sside.items()
+                                 if k in cfg_fields})
+        for k in CKPT_BOUND_FIELDS:
+            if k in ("timesteps", "num_hidden_layers"):
+                continue  # legitimately differ between the two models
+            if k in qside and qside[k] != getattr(cfg, k):
+                raise ValueError(
+                    f"checkpoint configs disagree on {k}: structure="
+                    f"{getattr(cfg, k)} vs sequence={qside[k]}")
+        qcfg = dc.replace(
+            cfg, timesteps=qside.get("timesteps", 50),
+            num_hidden_layers=qside.get("num_hidden_layers", 6))
+
+        smodel = build_structure_model(cfg)
+        qmodel = build_sequence_model(qcfg)
+        sdiff = build_structure_diffusion(cfg)
+        trans = (BlosumTransition() if transition == "blosum"
+                 else UniformTransition(20))
+        d3pm = D3PMDiffusion.create(trans, timesteps=qcfg.timesteps)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        shapes = _batch_shapes(cfg, batch_size)
+        sparams = load_structure_params(structure_ckpt, smodel, shapes, rng)
+        qparams = load_sequence_params(sequence_ckpt, qmodel, shapes, rng)
+        return cls(cfg, smodel, sparams, sdiff, qmodel, qparams, d3pm,
+                   sequence_timesteps=qcfg.timesteps, **kwargs)
+
+    # ------------------------------------------------------------------
+    def featurize(self, record: dict) -> dict:
+        """One record -> per-slot feature dict (fixed serving shapes)."""
+        ext = 0 if record.get("already_extended") else self.cfg.pocket_ext
+        ds = LigandBindingSiteData(
+            [record], None, max_len=self.cfg.max_seq_len, pocket_ext=ext,
+            ligand_max_len=self.cfg.ligand_max_len)
+        slot = ds[0]
+        slot["_synthetic_ligand"] = bool(record.get("synthetic_ligand"))
+        return slot
+
+    def warmup(self, key=None) -> None:
+        """Compile both sampler programs on a dummy batch (30-340 s cold
+        through a tunneled TPU — pay it at startup, not on request #1)."""
+        rec = pocket_record("ACD", np.zeros((3, 8), np.float32), 5)
+        self.design_records([rec], key=key, return_pdb=False)
+        self._warm = True
+
+    @property
+    def ready(self) -> bool:
+        return self._warm
+
+    # ------------------------------------------------------------------
+    def design_records(self, records: Sequence[dict], key=None,
+                       return_pdb: bool = True) -> list[DesignResult]:
+        """Run the full design pipeline for a list of request records.
+        Requests are packed into fixed (batch_size, ...) batches; the
+        final partial batch is zero-padded (dead slots drop out via the
+        all-zero attention masks)."""
+        import jax
+        import jax.numpy as jnp
+
+        if key is None:
+            key = jax.random.PRNGKey(np.random.SeedSequence().entropy
+                                     % (2 ** 32))
+        slots = [self.featurize(r) for r in records]
+        results: list[DesignResult] = []
+        feat_keys = [k for k in slots[0] if not k.startswith("_")]
+
+        for start in range(0, len(slots), self.batch_size):
+            chunk = slots[start:start + self.batch_size]
+            n_valid = len(chunk)
+            batch = {}
+            for k in feat_keys:
+                stacked = np.stack([s[k] for s in chunk])
+                if n_valid < self.batch_size:
+                    pad = np.zeros(
+                        (self.batch_size - n_valid,) + stacked.shape[1:],
+                        stacked.dtype)
+                    stacked = np.concatenate([stacked, pad])
+                batch[k] = stacked
+
+            key, k_struct, k_seq = jax.random.split(key, 3)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k in ("ligand_angles", "ligand_attn_mask",
+                               "ligand_seq", "receptor_angles",
+                               "receptor_attn_mask", "receptor_seq")}
+            with self._device_lock:
+                angles_final, _ = self._struct_run(
+                    self.structure_params, jbatch, k_struct)
+                seq_batch = dict(jbatch)
+                seq_batch["ligand_angles"] = angles_final.astype(
+                    jbatch["ligand_angles"].dtype)
+                logits = self._seq_run(self.sequence_params, seq_batch,
+                                       k_seq)
+                angles_np = np.asarray(angles_final, np.float32)
+                pred = np.asarray(logits).argmax(-1)
+
+            for i in range(n_valid):
+                length = int(batch["ligand_attn_mask"][i].sum())
+                ang = angles_np[i, :length]
+                seq = "".join(AA_VOCAB[j] for j in pred[i, :length])
+                pdb = None
+                if return_pdb:
+                    coords = backbone_coords_from_angles(ang)
+                    pdb = backbone_pdb_text(coords) if coords is not None \
+                        else None
+                recovery = None
+                if not chunk[i]["_synthetic_ligand"]:
+                    true = batch["ligand_seq"][i, :length].argmax(-1)
+                    recovery = float(
+                        (pred[i, :length] == true).sum() / max(length, 1))
+                results.append(DesignResult(sequence=seq, angles=ang,
+                                            pdb=pdb,
+                                            recovery_rate=recovery))
+        return results
+
+    # convenience used by the HTTP layer -------------------------------
+    def design(self, record: dict, n_designs: int = 1, key=None,
+               return_pdb: bool = True) -> list[DesignResult]:
+        """n_designs independent candidates for one request record (each
+        occupies its own batch slot; per-slot noise is independent)."""
+        return self.design_records([record] * n_designs, key=key,
+                                   return_pdb=return_pdb)
+
+
+def _batch_shapes(cfg, batch_size: int) -> dict:
+    """Zero batch with the serving shapes — enough for eval_shape-based
+    checkpoint restore (params_io) without touching any data."""
+    lig = cfg.ligand_max_len or cfg.max_seq_len
+    rec = cfg.max_seq_len
+    return {
+        "ligand_angles": np.zeros((batch_size, lig, 8), np.float32),
+        "ligand_attn_mask": np.zeros((batch_size, lig), np.float32),
+        "ligand_seq": np.zeros((batch_size, lig, 20), np.float32),
+        "receptor_angles": np.zeros((batch_size, rec, 8), np.float32),
+        "receptor_attn_mask": np.zeros((batch_size, rec), np.float32),
+        "receptor_seq": np.zeros((batch_size, rec, 20), np.float32),
+    }

@@ -1,0 +1,156 @@
+"""HTTP front-end for the design engine (stdlib-only, no web framework).
+
+Endpoints:
+  GET  /healthz  -> {"ok": true} once the samplers are compiled (503 before)
+  GET  /stats    -> micro-batcher counters + latency percentiles
+  POST /design   -> run the design pipeline for one request
+
+POST /design body (JSON):
+  {"record": {...}}                 a preprocessing-schema complex record
+     or
+  {"pocket": {"sequence": "ACDE...",        pocket residues, used verbatim
+              "angles": [[8 floats]...],    (already-extended semantics)
+              "peptide_length": 12}}
+  "n_designs": 1,          independent candidates (parallel batch slots)
+  "return_pdb": true,      include NERF-reconstructed backbone PDB text
+  "return_angles": false   include raw generated angles
+
+Response: {"designs": [{"sequence", "pdb"?, "angles"?, "recovery_rate"?},
+           ...], "latency_ms": ...}
+
+Concurrency model: the ThreadingHTTPServer thread-per-request front-end
+only parses/serializes JSON; every device interaction funnels through the
+MicroBatcher's single worker thread, which packs concurrent requests into
+one fixed-shape TPU batch (see batcher.py).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from e3diff_tpu.serving.batcher import MicroBatcher
+from e3diff_tpu.serving.engine import DesignEngine, pocket_record
+
+
+def _record_from_json(payload: dict) -> dict:
+    if "record" in payload:
+        rec = dict(payload["record"])
+        for k in ("angle_features", "numerical_features"):
+            if k in rec:
+                rec[k] = np.asarray(rec[k], np.float32)
+        for k in ("ligand_mask", "pocket_mask"):
+            if k in rec:
+                rec[k] = np.asarray(rec[k], bool)
+        return rec
+    if "pocket" in payload:
+        p = payload["pocket"]
+        return pocket_record(p["sequence"],
+                             np.asarray(p["angles"], np.float32),
+                             int(p["peptide_length"]))
+    raise ValueError("request needs a 'record' or a 'pocket'")
+
+
+class DesignServer:
+    """Owns the engine + batcher and serves HTTP on (host, port)."""
+
+    def __init__(self, engine: DesignEngine, host: str = "127.0.0.1",
+                 port: int = 0, max_wait_ms: float = 25.0,
+                 request_timeout_s: float = 600.0):
+        self.engine = engine
+        self.request_timeout_s = request_timeout_s
+        self.batcher = MicroBatcher(
+            lambda records: engine.design_records(records, return_pdb=True),
+            max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
+        self._httpd = ThreadingHTTPServer((host, port),
+                                          self._make_handler())
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> None:
+        """Serve on a background thread (returns immediately)."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="e3diff-http")
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(5.0)
+        self.batcher.shutdown()
+
+    # ------------------------------------------------------------------
+    def _handle_design(self, payload: dict) -> dict:
+        t0 = time.monotonic()
+        record = _record_from_json(payload)
+        n = int(payload.get("n_designs", 1))
+        if not 1 <= n <= 4 * self.engine.batch_size:
+            raise ValueError(
+                f"n_designs must be in [1, {4 * self.engine.batch_size}]")
+        futures = [self.batcher.submit(record) for _ in range(n)]
+        results = [f.result(timeout=self.request_timeout_s)
+                   for f in futures]
+        designs = []
+        for r in results:
+            d = {"sequence": r.sequence}
+            if payload.get("return_pdb", True) and r.pdb is not None:
+                d["pdb"] = r.pdb
+            if payload.get("return_angles", False):
+                d["angles"] = np.asarray(r.angles).tolist()
+            if r.recovery_rate is not None:
+                d["recovery_rate"] = r.recovery_rate
+            designs.append(d)
+        return {"designs": designs,
+                "latency_ms": 1e3 * (time.monotonic() - t0)}
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    ok = server.engine.ready
+                    self._reply(200 if ok else 503, {"ok": ok})
+                elif self.path == "/stats":
+                    self._reply(200, server.batcher.stats())
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/design":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    self._reply(200, server._handle_design(payload))
+                except (ValueError, KeyError, TypeError) as exc:
+                    self._reply(400, {"error": str(exc)})
+                except Exception as exc:  # noqa: BLE001 — surface as 500
+                    self._reply(500, {"error": str(exc)})
+
+        return Handler

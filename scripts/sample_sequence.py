@@ -22,38 +22,9 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 
 
 def load_params(ckpt_path: str, model, sample_batch, rng):
-    import jax
-    import jax.numpy as jnp
+    from e3diff_tpu.utils.params_io import load_sequence_params
 
-    if ckpt_path.endswith(".pt"):
-        import torch
-
-        from e3diff_tpu.utils.torch_port import port_sequence_state_dict
-
-        sd = {k: v.numpy() for k, v in
-              torch.load(ckpt_path, map_location="cpu").items()}
-        params = port_sequence_state_dict(sd, model.decoder_config.num_layers)
-        if model.decoder_config.scan_layers:
-            from e3diff_tpu.models.restack import params_to_scan
-
-            params = params_to_scan(params)
-        return jax.tree.map(jnp.asarray, params)
-
-    from e3diff_tpu.training.checkpoint import CheckpointManager
-
-    b = sample_batch["ligand_seq"].shape[0]
-    # eval_shape: restore needs only the abstract tree, not a real init
-    abstract = jax.eval_shape(
-        model.init, rng, jnp.zeros((b, 1)),
-        jnp.asarray(sample_batch["ligand_seq"]),
-        jnp.asarray(sample_batch["ligand_angles"]),
-        jnp.asarray(sample_batch["ligand_attn_mask"]),
-        jnp.asarray(sample_batch["receptor_seq"]),
-        jnp.asarray(sample_batch["receptor_angles"]),
-        jnp.asarray(sample_batch["receptor_attn_mask"]))["params"]
-    mgr = CheckpointManager(os.path.dirname(ckpt_path) or ".")
-    restored = mgr.restore(os.path.basename(ckpt_path), {"params": abstract})
-    return restored["params"]
+    return load_sequence_params(ckpt_path, model, sample_batch, rng)
 
 
 def main():

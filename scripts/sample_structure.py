@@ -25,40 +25,9 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 def load_params(ckpt_path: str, model, sample_batch, rng):
     """Restore params from an orbax checkpoint dir ('final' or train-state),
     or convert a torch state_dict (.pt) via the porting utilities."""
-    import jax
-    import jax.numpy as jnp
+    from e3diff_tpu.utils.params_io import load_structure_params
 
-    if ckpt_path.endswith(".pt"):
-        import torch
-
-        from e3diff_tpu.utils.torch_port import port_structure_state_dict
-
-        sd = {k: v.numpy() for k, v in
-              torch.load(ckpt_path, map_location="cpu").items()}
-        params = port_structure_state_dict(
-            sd, model.encoder_config.num_layers,
-            model.decoder_config.num_layers)
-        if model.encoder_config.scan_layers:
-            from e3diff_tpu.models.restack import params_to_scan
-
-            params = params_to_scan(params)
-        return jax.tree.map(jnp.asarray, params)
-
-    from e3diff_tpu.training.checkpoint import CheckpointManager
-
-    b = sample_batch["ligand_angles"].shape[0]
-    # checkpoint restore only needs the abstract tree: eval_shape traces
-    # without computing (a real init costs ~2 min of tunnel dispatch)
-    abstract = jax.eval_shape(
-        model.init, rng, jnp.zeros((b,), jnp.int32),
-        jnp.asarray(sample_batch["ligand_angles"]),
-        jnp.asarray(sample_batch["ligand_attn_mask"]),
-        jnp.asarray(sample_batch["receptor_seq"]),
-        jnp.asarray(sample_batch["receptor_angles"]),
-        jnp.asarray(sample_batch["receptor_attn_mask"]))["params"]
-    mgr = CheckpointManager(os.path.dirname(ckpt_path) or ".")
-    restored = mgr.restore(os.path.basename(ckpt_path), {"params": abstract})
-    return restored["params"]
+    return load_structure_params(ckpt_path, model, sample_batch, rng)
 
 
 def main():

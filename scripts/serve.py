@@ -1,0 +1,77 @@
+"""Serve peptide design over HTTP from two trained checkpoints.
+
+Production path the reference lacks (its inference surface is offline
+scripts only): loads the structure + sequence checkpoints (architectures
+from their config.json sidecars), compiles both samplers at startup, and
+serves micro-batched design requests on fixed TPU shapes.
+
+Example:
+    python scripts/serve.py --structure_ckpt runs/structure/final \
+        --sequence_ckpt runs/sequence/final --port 8000
+
+    curl -s localhost:8000/design -d '{"pocket": {"sequence": "ACDEF",
+        "angles": [[0,0,0,0,2,2,2,2], ...], "peptide_length": 8},
+        "n_designs": 4}'
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--structure_ckpt", required=True)
+    parser.add_argument("--sequence_ckpt", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--serve_batch_size", type=int, default=64,
+                        help="TPU batch slots per device run (B=64 is the "
+                             "measured throughput sweet spot)")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"],
+                        default="ddim",
+                        help="ddim (default) is the production fast path: "
+                             "measured quality parity with the faithful "
+                             "1000-step loop at 20-40x fewer forwards")
+    parser.add_argument("--ddim_steps", type=int, default=25)
+    parser.add_argument("--ddim_eta", type=float, default=1.0)
+    parser.add_argument("--seq_skip_steps", type=int, default=None,
+                        help="D3PM skip-step ladder for inverse folding "
+                             "(None = full T-step loop)")
+    parser.add_argument("--transition", choices=["uniform", "blosum"],
+                        default="uniform",
+                        help="the reference's end-to-end pipeline pairs "
+                             "generated angles with the uniform transition")
+    parser.add_argument("--max_wait_ms", type=float, default=25.0,
+                        help="micro-batching window after the first "
+                             "request of a batch")
+    args = parser.parse_args()
+
+    from e3diff_tpu.serving import DesignEngine, DesignServer
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    print("loading checkpoints ...")
+    engine = DesignEngine.from_checkpoints(
+        args.structure_ckpt, args.sequence_ckpt,
+        batch_size=args.serve_batch_size, sampler=args.sampler,
+        ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
+        seq_skip_steps=args.seq_skip_steps, transition=args.transition)
+    print("compiling samplers (warmup) ...")
+    engine.warmup()
+    server = DesignServer(engine, host=args.host, port=args.port,
+                          max_wait_ms=args.max_wait_ms)
+    print(f"serving on http://{args.host}:{server.port}  "
+          f"(POST /design, GET /healthz, GET /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

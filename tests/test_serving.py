@@ -1,0 +1,311 @@
+"""Serving subsystem: engine featurization/design, micro-batcher, HTTP
+server round-trip, and checkpoint-based construction."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
+from e3diff_tpu.data.dataset import AA_VOCAB
+from e3diff_tpu.diffusion import D3PMDiffusion, GaussianAngleDiffusion
+from e3diff_tpu.models import (
+    SequenceDenoiser,
+    StructureDenoiser,
+    TransformerConfig,
+)
+from e3diff_tpu.ops import UniformTransition
+from e3diff_tpu.serving import DesignEngine, DesignServer, MicroBatcher
+from e3diff_tpu.serving.engine import pocket_record
+from e3diff_tpu.utils.presets import ExperimentConfig
+
+MAXLEN = 32
+
+
+def _tiny_cfg(cross, init_style="torch_default"):
+    return TransformerConfig(
+        hidden_size=32, num_heads=4, num_layers=2, intermediate_size=64,
+        max_position_embeddings=MAXLEN, dropout=0.0, attention_dropout=0.0,
+        add_cross_attention=cross, init_style=init_style)
+
+
+def _tiny_engine(batch_size=4, **kwargs):
+    cfg = ExperimentConfig(pocket_ext=1, max_seq_len=MAXLEN,
+                           ligand_max_len=16, timesteps=8, bf16=False)
+    ds = LigandBindingSiteData(
+        synthetic_complexes(n=4, seed=3, receptor_len_range=(8, 14),
+                            ligand_len_range=(5, 8)),
+        None, max_len=MAXLEN, pocket_ext=1, ligand_max_len=16)
+    batch = next(ds.batches(2))
+
+    smodel = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
+    sparams = smodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32),
+        jnp.asarray(batch["ligand_angles"]),
+        jnp.asarray(batch["ligand_attn_mask"]),
+        jnp.asarray(batch["receptor_seq"]),
+        jnp.asarray(batch["receptor_angles"]),
+        jnp.asarray(batch["receptor_attn_mask"]))["params"]
+
+    qmodel = SequenceDenoiser(_tiny_cfg(False, "xavier_all"),
+                              _tiny_cfg(True, "xavier_all"))
+    qparams = qmodel.init(
+        jax.random.PRNGKey(1), jnp.zeros((2, 1)),
+        jnp.asarray(batch["ligand_seq"]),
+        jnp.asarray(batch["ligand_angles"]),
+        jnp.asarray(batch["ligand_attn_mask"]),
+        jnp.asarray(batch["receptor_seq"]),
+        jnp.asarray(batch["receptor_angles"]),
+        jnp.asarray(batch["receptor_attn_mask"]))["params"]
+
+    diffusion = GaussianAngleDiffusion.cosine(8)
+    d3pm = D3PMDiffusion.create(UniformTransition(20), timesteps=6)
+    return DesignEngine(cfg, smodel, sparams, diffusion, qmodel, qparams,
+                        d3pm, batch_size=batch_size, sampler="ddim",
+                        ddim_steps=3, **kwargs)
+
+
+def _pocket(n_pocket=6, peptide_length=7, seed=0):
+    rng = np.random.default_rng(seed)
+    seq = "".join(AA_VOCAB[i] for i in rng.integers(0, 20, n_pocket))
+    angles = rng.uniform(-np.pi, np.pi, (n_pocket, 8)).astype(np.float32)
+    return pocket_record(seq, angles, peptide_length)
+
+
+# ---------------------------------------------------------------- records
+
+def test_pocket_record_validation():
+    with pytest.raises(ValueError, match="unknown residues"):
+        pocket_record("AXZ", np.zeros((3, 8), np.float32), 5)
+    with pytest.raises(ValueError, match="shape"):
+        pocket_record("ACD", np.zeros((2, 8), np.float32), 5)
+    with pytest.raises(ValueError, match="peptide_length"):
+        pocket_record("ACD", np.zeros((3, 8), np.float32), 0)
+
+
+def test_pocket_record_featurization_is_verbatim():
+    eng = _tiny_engine()
+    rec = _pocket(n_pocket=6, peptide_length=7)
+    slot = eng.featurize(rec)
+    # already_extended: the pocket residues pass through exactly, no Q2
+    # extension bleeding the dummy ligand into the receptor features
+    assert slot["receptor_attn_mask"].sum() == 6
+    assert slot["ligand_attn_mask"].sum() == 7
+    np.testing.assert_allclose(
+        slot["receptor_angles"][:6],
+        np.asarray(rec["angle_features"][:6]), rtol=1e-6)
+
+
+# ----------------------------------------------------------------- engine
+
+def test_engine_design_mixed_requests():
+    eng = _tiny_engine(batch_size=4)
+    real = synthetic_complexes(n=1, seed=9, receptor_len_range=(8, 12),
+                               ligand_len_range=(5, 8))[0]
+    records = [_pocket(6, 7, seed=0), _pocket(5, 5, seed=1), real]
+    results = eng.design_records(records, key=jax.random.PRNGKey(42))
+    assert len(results) == 3
+    for res, rec in zip(results, records):
+        want_len = int(np.asarray(rec["ligand_mask"]).sum())
+        assert len(res.sequence) == want_len
+        assert set(res.sequence) <= set(AA_VOCAB)
+        assert res.angles.shape == (want_len, 8)
+        assert np.all(np.abs(res.angles) <= np.pi + 1e-5)
+        assert res.pdb is not None and res.pdb.startswith("ATOM")
+        # 4 atoms per residue in the reconstructed backbone
+        assert res.pdb.count("\nATOM") + 1 == 4 * want_len
+    assert results[0].recovery_rate is None      # synthetic ligand
+    assert results[1].recovery_rate is None
+    assert 0.0 <= results[2].recovery_rate <= 1.0
+
+
+def test_engine_chunks_past_batch_size():
+    eng = _tiny_engine(batch_size=2)
+    records = [_pocket(5, 6, seed=s) for s in range(5)]
+    results = eng.design_records(records, key=jax.random.PRNGKey(0),
+                                 return_pdb=False)
+    assert len(results) == 5
+    assert all(r.pdb is None for r in results)
+    # independent slots: designs differ across requests
+    assert len({r.sequence for r in results}) > 1
+
+
+def test_engine_n_designs_are_independent():
+    eng = _tiny_engine(batch_size=4)
+    results = eng.design(_pocket(6, 8), n_designs=4,
+                         key=jax.random.PRNGKey(7), return_pdb=False)
+    assert len(results) == 4
+    angles = np.stack([r.angles for r in results])
+    assert np.std(angles, axis=0).max() > 1e-3   # not identical noise
+
+
+# ---------------------------------------------------------------- batcher
+
+def test_microbatcher_coalesces_and_orders():
+    calls = []
+
+    def run(items):
+        calls.append(len(items))
+        time.sleep(0.01)
+        return [x * 10 for x in items]
+
+    b = MicroBatcher(run, max_batch=8, max_wait_ms=30.0)
+    futs = [b.submit(i) for i in range(20)]
+    assert [f.result(timeout=5) for f in futs] == [i * 10 for i in range(20)]
+    stats = b.stats()
+    assert stats["requests"] == 20
+    assert stats["batches"] == len(calls) < 20   # actually batched
+    assert max(calls) <= 8
+    assert stats["mean_batch_occupancy"] > 1.0
+    assert stats["latency_ms_p50"] > 0
+    b.shutdown()
+
+
+def test_microbatcher_propagates_errors_and_recovers():
+    def run(items):
+        if any(x < 0 for x in items):
+            raise RuntimeError("boom")
+        return items
+
+    b = MicroBatcher(run, max_batch=4, max_wait_ms=5.0)
+    bad = b.submit(-1)
+    with pytest.raises(RuntimeError, match="boom"):
+        bad.result(timeout=5)
+    good = b.submit(3)
+    assert good.result(timeout=5) == 3           # worker thread survived
+    assert b.stats()["errors"] == 1
+    b.shutdown()
+    with pytest.raises(RuntimeError):
+        b.submit(1)
+
+
+def test_microbatcher_concurrent_submitters():
+    b = MicroBatcher(lambda xs: [x + 1 for x in xs], max_batch=16,
+                     max_wait_ms=10.0)
+    out = {}
+
+    def client(i):
+        out[i] = b.submit(i).result(timeout=5)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert out == {i: i + 1 for i in range(32)}
+    b.shutdown()
+
+
+# ----------------------------------------------------------------- server
+
+def _http(method, url, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_end_to_end():
+    eng = _tiny_engine(batch_size=4)
+    server = DesignServer(eng, port=0, max_wait_ms=5.0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        code, body = _http("GET", f"{base}/healthz")
+        assert code == 503 and body["ok"] is False   # not warmed up yet
+        eng.warmup(key=jax.random.PRNGKey(0))
+        code, body = _http("GET", f"{base}/healthz")
+        assert code == 200 and body["ok"] is True
+
+        pocket = _pocket(6, 7)
+        payload = {
+            "pocket": {"sequence": "".join(pocket["amino_acid"][:6]),
+                       "angles": np.asarray(
+                           pocket["angle_features"][:6]).tolist(),
+                       "peptide_length": 7},
+            "n_designs": 2, "return_angles": True,
+        }
+        code, body = _http("POST", f"{base}/design", payload)
+        assert code == 200, body
+        assert len(body["designs"]) == 2
+        for d in body["designs"]:
+            assert len(d["sequence"]) == 7
+            assert set(d["sequence"]) <= set(AA_VOCAB)
+            assert d["pdb"].startswith("ATOM")
+            assert np.asarray(d["angles"]).shape == (7, 8)
+            assert "recovery_rate" not in d      # synthetic ligand
+        assert body["latency_ms"] > 0
+
+        code, body = _http("POST", f"{base}/design", {"n_designs": 1})
+        assert code == 400 and "error" in body
+        code, body = _http("GET", f"{base}/nope")
+        assert code == 404
+        code, body = _http("GET", f"{base}/stats")
+        assert code == 200 and body["batches"] >= 1
+    finally:
+        server.shutdown()
+
+
+# ------------------------------------------------------- from_checkpoints
+
+def test_engine_from_checkpoints(tmp_path):
+    import dataclasses
+
+    from e3diff_tpu.training.checkpoint import CheckpointManager
+    from e3diff_tpu.utils.builders import (
+        build_sequence_model,
+        build_structure_model,
+    )
+    from e3diff_tpu.utils.presets import save_config
+
+    cfg = ExperimentConfig(pocket_ext=1, max_seq_len=MAXLEN,
+                           ligand_max_len=16, timesteps=8,
+                           num_heads=4, hidden_size=32,
+                           num_hidden_layers=2, intermediate_size=64,
+                           bf16=False)
+    qcfg = dataclasses.replace(cfg, timesteps=6, num_hidden_layers=1)
+
+    smodel = build_structure_model(cfg)
+    qmodel = build_sequence_model(qcfg)
+    b, lig, rec = 2, 16, MAXLEN
+    sparams = smodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, lig, 8)), jnp.ones((b, lig)),
+        jnp.zeros((b, rec, 20)), jnp.zeros((b, rec, 8)),
+        jnp.ones((b, rec)))["params"]
+    qparams = qmodel.init(
+        jax.random.PRNGKey(1), jnp.zeros((b, 1)),
+        jnp.zeros((b, lig, 20)), jnp.zeros((b, lig, 8)),
+        jnp.ones((b, lig)), jnp.zeros((b, rec, 20)),
+        jnp.zeros((b, rec, 8)), jnp.ones((b, rec)))["params"]
+
+    sdir, qdir = str(tmp_path / "structure"), str(tmp_path / "sequence")
+    for d, p, c in ((sdir, sparams, cfg), (qdir, qparams, qcfg)):
+        mgr = CheckpointManager(d)
+        mgr.save_final(p)
+        mgr.close()
+        save_config(c, d)
+
+    eng = DesignEngine.from_checkpoints(
+        f"{sdir}/final", f"{qdir}/final", batch_size=2, sampler="ddim",
+        ddim_steps=3)
+    assert eng.cfg.max_seq_len == MAXLEN
+    assert eng.cfg.ligand_max_len == 16
+    assert eng.sequence_timesteps == 6
+    results = eng.design(_pocket(6, 7), n_designs=2,
+                         key=jax.random.PRNGKey(5))
+    assert len(results) == 2 and all(len(r.sequence) == 7 for r in results)
+
+    # disagreeing shared fields must be rejected
+    save_config(dataclasses.replace(qcfg, max_seq_len=64), qdir)
+    with pytest.raises(ValueError, match="disagree on max_seq_len"):
+        DesignEngine.from_checkpoints(f"{sdir}/final", f"{qdir}/final",
+                                      batch_size=2)
