@@ -180,9 +180,18 @@ class DesignEngine:
     def featurize(self, record: dict) -> dict:
         """One record -> per-slot feature dict (fixed serving shapes)."""
         ext = 0 if record.get("already_extended") else self.cfg.pocket_ext
-        ds = LigandBindingSiteData(
-            [record], None, max_len=self.cfg.max_seq_len, pocket_ext=ext,
-            ligand_max_len=self.cfg.ligand_max_len)
+        try:
+            ds = LigandBindingSiteData(
+                [record], None, max_len=self.cfg.max_seq_len,
+                pocket_ext=ext, ligand_max_len=self.cfg.ligand_max_len)
+        except RuntimeError as exc:
+            # oversized pocket/peptide ("Length exceed") is a REQUEST
+            # error, not a server fault — surface it as such (HTTP 400)
+            raise ValueError(
+                f"request does not fit the serving shapes (receptor "
+                f"<= {self.cfg.max_seq_len}, peptide <= "
+                f"{self.cfg.ligand_max_len or self.cfg.max_seq_len} "
+                f"residues): {exc}") from exc
         slot = ds[0]
         slot["_synthetic_ligand"] = bool(record.get("synthetic_ligand"))
         return slot
@@ -208,6 +217,8 @@ class DesignEngine:
         import jax
         import jax.numpy as jnp
 
+        if not records:
+            return []
         if key is None:
             key = jax.random.PRNGKey(np.random.SeedSequence().entropy
                                      % (2 ** 32))

@@ -37,6 +37,15 @@ from e3diff_tpu.serving.batcher import MicroBatcher
 from e3diff_tpu.serving.engine import DesignEngine, pocket_record
 
 
+class _HTTPServer(ThreadingHTTPServer):
+    # a micro-batching server EXPECTS batch-sized bursts of simultaneous
+    # connects; socketserver's default accept backlog of 5 RSTs the rest
+    # (measured: 64 concurrent clients -> ConnectionResetError). Size the
+    # backlog to several full batches.
+    request_queue_size = 256
+    daemon_threads = True
+
+
 def _record_from_json(payload: dict) -> dict:
     if "record" in payload:
         rec = dict(payload["record"])
@@ -66,8 +75,7 @@ class DesignServer:
         self.batcher = MicroBatcher(
             lambda records: engine.design_records(records, return_pdb=True),
             max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
-        self._httpd = ThreadingHTTPServer((host, port),
-                                          self._make_handler())
+        self._httpd = _HTTPServer((host, port), self._make_handler())
         self._thread: threading.Thread | None = None
 
     @property

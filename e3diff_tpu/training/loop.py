@@ -160,5 +160,11 @@ def train_loop(
 
     if manager is not None:
         manager.save_final(state.params)
+        if getattr(state, "ema_params", None) is not None:
+            # EMA weights as a second params-only inference artifact —
+            # point any sampling CLI / the serving engine at
+            # <ckpt_dir>/final_ema to sample from the averaged weights
+            manager.save("final_ema", {"params": state.ema_params},
+                         block=True)
         manager.close()
     return state, history

@@ -19,6 +19,13 @@ import jax
 import optax
 
 
+def ema_update(ema_params, params, decay: float):
+    """ema <- decay * ema + (1 - decay) * params, elementwise. The
+    standard diffusion-model EMA (not in the reference; default-off)."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                        ema_params, params)
+
+
 def linear_warmup_per_epoch(base_lr: float, max_epochs: int,
                             steps_per_epoch: int) -> Callable:
     """lr(step) replicating HF linear warmup/decay evaluated at

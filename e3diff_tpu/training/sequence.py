@@ -30,6 +30,7 @@ from flax.training import train_state
 
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
 from e3diff_tpu.ops.elbo import elbo_loss
+from e3diff_tpu.training.optim import ema_update
 
 
 def masked_cross_entropy(logits, target_onehot, mask):
@@ -75,7 +76,8 @@ def sequence_losses(pred_logits, noised_seq, ligand_seq, ligand_mask):
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # EMA weights (None unless ema_decay > 0) — see training/structure.py
+    ema_params: Any = None
 
 
 @dataclasses.dataclass(eq=False)  # hash by id: jit static self
@@ -83,6 +85,7 @@ class SequenceTrainer:
     model: Any
     diffusion: D3PMDiffusion
     optimizer: optax.GradientTransformation
+    ema_decay: float = 0.0    # 0 = off (reference-faithful)
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_seq"].shape[0]
@@ -97,8 +100,15 @@ class SequenceTrainer:
             jnp.asarray(sample_batch["receptor_angles"]),
             jnp.asarray(sample_batch["receptor_attn_mask"]),
         )["params"]
-        return TrainState.create(apply_fn=self.model.apply, params=params,
-                                 tx=self.optimizer)
+        state = TrainState.create(apply_fn=self.model.apply, params=params,
+                                  tx=self.optimizer)
+        if self.ema_decay:
+            # materialize a DISTINCT buffer copy: ema must not alias
+            # params (train_step donates the state, and XLA rejects
+            # donating the same buffer through two leaves)
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, params))
+        return state
 
     def abstract_params(self, rng, sample_batch):
         """Params tree as ShapeDtypeStructs via eval_shape — for the
@@ -144,6 +154,9 @@ class SequenceTrainer:
             self._losses, argnums=0, has_aux=True)(
                 state.params, batch, rng, False)
         state = state.apply_gradients(grads=grads)
+        if self.ema_decay:  # static branch: self is a jit-static arg
+            state = state.replace(ema_params=ema_update(
+                state.ema_params, state.params, self.ema_decay))
         metrics = {f"train_{k}": v for k, v in metrics.items()}
         metrics["train_loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -25,6 +25,7 @@ from flax.training import train_state
 
 from e3diff_tpu.diffusion.gaussian import GaussianAngleDiffusion
 from e3diff_tpu.ops.angles import wrap_angle
+from e3diff_tpu.training.optim import ema_update
 
 FEATURE_NAMES = ["phi", "psi", "omega", "dihedral_o",
                  "tau", "CA:C:1N", "1C:N:CA", "CA:C:O"]
@@ -64,7 +65,11 @@ def structure_loss_terms(pred_noise, known_noise, ligand_mask):
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # exponential-moving-average weights (None unless ema_decay > 0);
+    # an inference-quality lever standard for diffusion models that the
+    # reference lacks — default-off keeps the train-state pytree (and so
+    # checkpoint compatibility) reference-faithful
+    ema_params: Any = None
 
 
 @dataclasses.dataclass(eq=False)  # hash by id: jit static self
@@ -81,6 +86,7 @@ class StructureTrainer:
     model: Any
     diffusion: GaussianAngleDiffusion
     optimizer: optax.GradientTransformation
+    ema_decay: float = 0.0    # 0 = off (reference-faithful)
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_angles"].shape[:2]
@@ -96,8 +102,15 @@ class StructureTrainer:
             jnp.asarray(sample_batch["receptor_angles"]),
             jnp.asarray(sample_batch["receptor_attn_mask"]),
         )["params"]
-        return TrainState.create(apply_fn=self.model.apply, params=params,
-                                 tx=self.optimizer)
+        state = TrainState.create(apply_fn=self.model.apply, params=params,
+                                  tx=self.optimizer)
+        if self.ema_decay:
+            # materialize a DISTINCT buffer copy: ema must not alias
+            # params (train_step donates the state, and XLA rejects
+            # donating the same buffer through two leaves)
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, params))
+        return state
 
     def abstract_params(self, rng, sample_batch):
         """The params tree as ShapeDtypeStructs — enough for the AdamW
@@ -133,6 +146,9 @@ class StructureTrainer:
             self._losses, argnums=0, has_aux=True)(
                 state.params, batch, rng, False)
         state = state.apply_gradients(grads=grads)
+        if self.ema_decay:  # static branch: self is a jit-static arg
+            state = state.replace(ema_params=ema_update(
+                state.ema_params, state.params, self.ema_decay))
         metrics = {f"train_loss_{n}": terms[i]
                    for i, n in enumerate(FEATURE_NAMES)}
         metrics["train_loss"] = loss

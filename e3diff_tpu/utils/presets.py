@@ -54,6 +54,10 @@ class ExperimentConfig:
     # jax.checkpoint policy for layer backward: none | layer | dots
     # (measured: both LOSE at this model's size — kept for larger configs)
     remat: str = "none"
+    # exponential moving average of params (0 = off, reference-faithful).
+    # When on, training keeps an EMA copy updated each step and the run
+    # saves a final_ema params checkpoint alongside final.
+    ema_decay: float = 0.0
 
 
 def structure_train_config(**overrides) -> ExperimentConfig:
@@ -119,6 +123,13 @@ CKPT_BOUND_FIELDS = (
     "intermediate_size", "position_embedding_type", "scan_layers",
 )
 
+# Additionally bound for TRAIN resumes only: ema_decay on/off changes the
+# train-state pytree ('last' holds an ema_params branch), so a resume
+# must match the original run — but it neither sizes the inference params
+# nor constrains sampling, so it stays out of CKPT_BOUND_FIELDS (which
+# sampling CLIs adopt and the pipeline cross-checks between models).
+TRAIN_BOUND_FIELDS = CKPT_BOUND_FIELDS + ("ema_decay",)
+
 
 def save_config(cfg: ExperimentConfig, ckpt_dir: str) -> str:
     """Write the experiment config next to the checkpoints so sampling
@@ -167,7 +178,7 @@ def reconcile_run_config(cfg: ExperimentConfig, ckpt_dir: str,
         return cfg, {}
     known = _parser_flag_names(parser)
     adopted, conflicts = {}, []
-    for name in CKPT_BOUND_FIELDS:
+    for name in TRAIN_BOUND_FIELDS:
         if name not in side or getattr(cfg, name) == side[name]:
             continue
         if _flag_on_command_line(name, argv, known_flags=known):

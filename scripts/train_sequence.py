@@ -88,7 +88,7 @@ def main():
     trainer = SequenceTrainer(model, d3pm, make_optimizer(
         abstract, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
         max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
-        grad_clip=cfg.gradient_clip))
+        grad_clip=cfg.gradient_clip), ema_decay=cfg.ema_decay)
     state = trainer.create_state(rng, sample_batch)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Model has {n_params} trainable parameters")
@@ -97,6 +97,9 @@ def main():
     if len(jax.devices()) > 1:
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         state = state.replace(params=shard_params(state.params, mesh))
+        if state.ema_params is not None:
+            state = state.replace(
+                ema_params=shard_params(state.ema_params, mesh))
         print(f"mesh: {dict(mesh.shape)}")
 
     def train_batches(epoch):

@@ -96,7 +96,8 @@ def main():
     # tunnel dispatch for the 146M model)
     abstract = StructureTrainer(model, diffusion, None).abstract_params(
         rng, clean_batch)
-    trainer = StructureTrainer(model, diffusion, make_opt(abstract))
+    trainer = StructureTrainer(model, diffusion, make_opt(abstract),
+                               ema_decay=cfg.ema_decay)
     state = trainer.create_state(rng, clean_batch)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Model has {n_params} trainable parameters")
@@ -105,6 +106,9 @@ def main():
     if len(jax.devices()) > 1:
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         state = state.replace(params=shard_params(state.params, mesh))
+        if state.ema_params is not None:
+            state = state.replace(
+                ema_params=shard_params(state.ema_params, mesh))
         print(f"mesh: {dict(mesh.shape)}")
 
     def train_batches(epoch):

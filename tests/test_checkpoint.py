@@ -91,3 +91,46 @@ def test_train_loop_resume(tmp_path):
                                log_fn=lambda *_: None)
     assert [h["epoch"] for h in hist2] == [2, 3]
     assert int(state2.step) == 4
+
+
+def test_ema_final_ema_saved_and_resumable(tmp_path):
+    """ema_decay runs save a final_ema params artifact, keep the EMA copy
+    inside the resumable 'last' state, and resume seamlessly."""
+    import os
+
+    ds, batch, trainer, _ = _setup()
+    trainer = StructureTrainer(trainer.model, trainer.diffusion,
+                               trainer.optimizer, ema_decay=0.9)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    ckpt_dir = str(tmp_path / "run")
+
+    def batches(_epoch=None):
+        yield batch
+
+    state1, _ = train_loop(trainer, state, batches, batches,
+                           jax.random.PRNGKey(7), max_epochs=2,
+                           ckpt_dir=ckpt_dir, log_fn=lambda *_: None)
+    assert state1.ema_params is not None
+    assert os.path.isdir(os.path.join(ckpt_dir, "final_ema"))
+
+    # final_ema is a params-only artifact loadable like 'final'
+    mgr = CheckpointManager(ckpt_dir)
+    abstract = jax.eval_shape(lambda: state1.params)
+    ema = mgr.restore("final_ema", {"params": abstract})["params"]
+    np.testing.assert_allclose(
+        np.asarray(ema["angles_predictor"]["dense1"]["kernel"]),
+        np.asarray(state1.ema_params["angles_predictor"]["dense1"]["kernel"]),
+        rtol=1e-6)
+    # EMA lags the online params after training
+    assert np.abs(
+        np.asarray(ema["angles_predictor"]["dense1"]["kernel"])
+        - np.asarray(state1.params["angles_predictor"]["dense1"]["kernel"])
+    ).max() > 0
+
+    # resume: fresh EMA state restores the saved tree (incl. ema branch)
+    fresh = trainer.create_state(jax.random.PRNGKey(0), batch)
+    state2, hist2 = train_loop(trainer, fresh, batches, batches,
+                               jax.random.PRNGKey(7), max_epochs=4,
+                               ckpt_dir=ckpt_dir, log_fn=lambda *_: None)
+    assert [h["epoch"] for h in hist2] == [2, 3]
+    assert state2.ema_params is not None

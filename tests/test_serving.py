@@ -309,3 +309,12 @@ def test_engine_from_checkpoints(tmp_path):
     with pytest.raises(ValueError, match="disagree on max_seq_len"):
         DesignEngine.from_checkpoints(f"{sdir}/final", f"{qdir}/final",
                                       batch_size=2)
+
+
+def test_engine_empty_and_oversized_requests():
+    eng = _tiny_engine(batch_size=2)
+    assert eng.design_records([]) == []
+    with pytest.raises(ValueError, match="serving shapes"):
+        eng.featurize(_pocket(6, 40))      # peptide > ligand bucket (16)
+    with pytest.raises(ValueError, match="serving shapes"):
+        eng.featurize(_pocket(MAXLEN + 8, 5))   # pocket > receptor bucket

@@ -223,3 +223,45 @@ def test_ckpt_every_controls_last_save_cadence(monkeypatch, tmp_path):
 
     assert [e for n, e in saved if n == "last"] == [1, 3, 4]
     assert saved[-1] == ("final", None)
+
+
+def test_ema_tracking_semantics():
+    """ema_decay > 0 keeps an EMA copy: initialized to params, updated as
+    d*ema + (1-d)*params each step; default-off leaves the state pytree
+    unchanged (checkpoint compat)."""
+    batch = {k: v for k, v in _data().items()
+             if k not in ("num_valid", "structure_ids")}
+    model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
+    diff = GaussianAngleDiffusion.cosine(100)
+
+    off = StructureTrainer(
+        model, diff, make_optimizer(None, base_lr=1e-3, max_epochs=4,
+                                    steps_per_epoch=1))
+    assert off.create_state(jax.random.PRNGKey(0), batch).ema_params is None
+
+    d = 0.5
+    trainer = StructureTrainer(
+        model, diff, make_optimizer(None, base_lr=1e-3, max_epochs=4,
+                                    steps_per_epoch=1), ema_decay=d)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.tree.map(np.asarray, state.params)
+    chex = np.testing.assert_allclose
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, _ = trainer.train_step(state, dict(jbatch), jax.random.PRNGKey(1))
+    p1 = jax.tree.map(np.asarray, state.params)
+    ema1 = jax.tree.map(np.asarray, state.ema_params)
+    for path in [("angles_predictor", "dense1", "kernel"),
+                 ("ligand_angle_emb", "linear", "kernel")]:
+        a, b, e = p0, p1, ema1
+        for k in path:
+            a, b, e = a[k], b[k], e[k]
+        chex(e, d * a + (1 - d) * b, rtol=1e-5)
+        assert np.abs(a - b).max() > 0   # the step actually moved params
+
+    # second step: ema keeps tracking (closer to params than step-1 ema)
+    state, _ = trainer.train_step(state, dict(jbatch), jax.random.PRNGKey(2))
+    ema2 = jax.tree.map(np.asarray, state.ema_params)
+    p2 = jax.tree.map(np.asarray, state.params)
+    leaf = lambda t: t["angles_predictor"]["dense1"]["kernel"]
+    chex(leaf(ema2), d * leaf(ema1) + (1 - d) * leaf(p2), rtol=1e-5)
