@@ -47,16 +47,21 @@ class MicroBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, item) -> Future:
-        if self._stop.is_set():
-            raise RuntimeError("batcher is shut down")
         fut: Future = Future()
+        # stop-check and enqueue are one atomic section vs shutdown()'s
+        # stop+drain: a put that wins the lock lands before the drain
+        # (which fails it), a put that loses sees _stop and raises —
+        # either way no future is left unresolved
         with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is shut down")
             self._stats["requests"] += 1
-        self._queue.put((item, fut, time.monotonic()))
+            self._queue.put((item, fut, time.monotonic()))
         return fut
 
     def shutdown(self, timeout: float = 5.0) -> None:
-        self._stop.set()
+        with self._lock:
+            self._stop.set()
         self._thread.join(timeout)
         # fail anything still queued so clients don't hang
         while True:

@@ -26,8 +26,33 @@ from typing import Any, Sequence
 import numpy as np
 
 from e3diff_tpu.data.dataset import AA_VOCAB, LigandBindingSiteData
-from e3diff_tpu.geometry.chain import backbone_coords_from_angles
 from e3diff_tpu.geometry.pdb import backbone_pdb_text
+
+
+def _make_batched_nerf():
+    """jit(vmap(NERF)) over (B, L, 8) sampled angles -> (B, 4L, 3) coords.
+
+    The host-side per-design NERF loop costs ~3.4 ms/design (measured:
+    130 vs 233 designs/s with/without PDBs — BENCHMARKS.md "Serving");
+    the scan NERF batches the whole reconstruction into one device call.
+    Column mapping = the Q1-faithful chain.py mapping (tau -> CA-C bond
+    angle, CA:C:1N -> C-N, 1C:N:CA -> N-CA, CA:C:O -> C-O). Runs
+    UNcentered on the padded length: the NERF recurrence at residue i
+    depends only on residues <= i, so the valid prefix equals the
+    trimmed-chain reconstruction exactly; the caller trims and centers.
+    """
+    import jax
+
+    from e3diff_tpu.geometry.nerf import nerf_build_backbone
+
+    def one(a):
+        return nerf_build_backbone(
+            phi=a[:, 0], psi=a[:, 1], omega=a[:, 2], dihedral_o=a[:, 3],
+            bond_angle_ca_c=a[:, 4], bond_angle_c_n=a[:, 5],
+            bond_angle_n_ca=a[:, 6], bond_angle_c_o=a[:, 7],
+            center=False)
+
+    return jax.jit(jax.vmap(one))
 
 
 @dataclasses.dataclass
@@ -41,9 +66,7 @@ class DesignResult:
 
 def pocket_record(pocket_seq: str,
                   pocket_angles: np.ndarray,
-                  peptide_length: int,
-                  pocket_ss: str | None = None,
-                  numerical_features: np.ndarray | None = None) -> dict:
+                  peptide_length: int) -> dict:
     """Build a design-request record from a bare pocket.
 
     The supplied residues are used VERBATIM as the extended pocket (the
@@ -86,8 +109,7 @@ class DesignEngine:
                  sequence_d3pm, *, batch_size: int = 64,
                  sampler: str = "ddim", ddim_steps: int = 25,
                  ddim_eta: float = 1.0, step: int = 1,
-                 seq_skip_steps: int | None = None, diverse: bool = True,
-                 sequence_timesteps: int | None = None):
+                 seq_skip_steps: int | None = None, diverse: bool = True):
         from e3diff_tpu.sampling.sequence import make_sequence_sampler
         from e3diff_tpu.sampling.structure import make_structure_sampler
 
@@ -97,8 +119,8 @@ class DesignEngine:
         self.structure_params = structure_params
         self.sequence_model = sequence_model
         self.sequence_params = sequence_params
-        self.sequence_timesteps = (sequence_timesteps
-                                   or sequence_d3pm.timesteps)
+        self.structure_diffusion = structure_diffusion
+        self.sequence_d3pm = sequence_d3pm
         self._struct_run = make_structure_sampler(
             structure_model, structure_diffusion, step=step,
             return_trajectory=False, sampler=sampler,
@@ -109,6 +131,7 @@ class DesignEngine:
         # one chip, two cached jit programs: serialize device use so
         # concurrent front-end threads don't interleave dispatches
         self._device_lock = threading.Lock()
+        self._nerf_run = _make_batched_nerf()
         self._warm = False
 
     # ------------------------------------------------------------------
@@ -174,7 +197,7 @@ class DesignEngine:
         sparams = load_structure_params(structure_ckpt, smodel, shapes, rng)
         qparams = load_sequence_params(sequence_ckpt, qmodel, shapes, rng)
         return cls(cfg, smodel, sparams, sdiff, qmodel, qparams, d3pm,
-                   sequence_timesteps=qcfg.timesteps, **kwargs)
+                   **kwargs)
 
     # ------------------------------------------------------------------
     def featurize(self, record: dict) -> dict:
@@ -210,24 +233,38 @@ class DesignEngine:
     # ------------------------------------------------------------------
     def design_records(self, records: Sequence[dict], key=None,
                        return_pdb: bool = True) -> list[DesignResult]:
-        """Run the full design pipeline for a list of request records.
-        Requests are packed into fixed (batch_size, ...) batches; the
-        final partial batch is zero-padded (dead slots drop out via the
-        all-zero attention masks)."""
+        """Featurize request records and run the full design pipeline."""
+        return self.design_slots([self.featurize(r) for r in records],
+                                 key=key, return_pdb=return_pdb)
+
+    def design_slots(self, slots: Sequence[dict], key=None,
+                     return_pdb=True) -> list[DesignResult]:
+        """Run the design pipeline for pre-featurized slots (the HTTP
+        layer featurizes in its request threads so one bad request fails
+        alone, then batches validated slots here). Slots are packed into
+        fixed (batch_size, ...) batches; the final partial batch is
+        zero-padded (dead slots drop out via the all-zero attention
+        masks). ``return_pdb`` is a bool or a per-slot sequence of bools
+        (coords are reconstructed on device when any slot wants a PDB;
+        text is only formatted for the slots that asked)."""
         import jax
         import jax.numpy as jnp
 
-        if not records:
+        if not slots:
             return []
+        if isinstance(return_pdb, bool):
+            return_pdb = [return_pdb] * len(slots)
+        if len(return_pdb) != len(slots):
+            raise ValueError("return_pdb length != slots length")
         if key is None:
             key = jax.random.PRNGKey(np.random.SeedSequence().entropy
                                      % (2 ** 32))
-        slots = [self.featurize(r) for r in records]
         results: list[DesignResult] = []
         feat_keys = [k for k in slots[0] if not k.startswith("_")]
 
         for start in range(0, len(slots), self.batch_size):
             chunk = slots[start:start + self.batch_size]
+            want_pdb = return_pdb[start:start + self.batch_size]
             n_valid = len(chunk)
             batch = {}
             for k in feat_keys:
@@ -252,6 +289,10 @@ class DesignEngine:
                     jbatch["ligand_angles"].dtype)
                 logits = self._seq_run(self.sequence_params, seq_batch,
                                        k_seq)
+                coords_b = None
+                if any(want_pdb):
+                    coords_b = np.asarray(self._nerf_run(
+                        angles_final.astype(jnp.float32)))
                 angles_np = np.asarray(angles_final, np.float32)
                 pred = np.asarray(logits).argmax(-1)
 
@@ -260,10 +301,12 @@ class DesignEngine:
                 ang = angles_np[i, :length]
                 seq = "".join(AA_VOCAB[j] for j in pred[i, :length])
                 pdb = None
-                if return_pdb:
-                    coords = backbone_coords_from_angles(ang)
-                    pdb = backbone_pdb_text(coords) if coords is not None \
-                        else None
+                if want_pdb[i]:
+                    coords = coords_b[i, :4 * length]
+                    if length and not np.any(np.isnan(coords)):
+                        # center over the valid chain (== the trimmed
+                        # NERF's center=True; reference NaN guard kept)
+                        pdb = backbone_pdb_text(coords - coords.mean(0))
                 recovery = None
                 if not chunk[i]["_synthetic_ligand"]:
                     true = batch["ligand_seq"][i, :length].argmax(-1)

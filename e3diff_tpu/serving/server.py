@@ -72,8 +72,14 @@ class DesignServer:
                  request_timeout_s: float = 600.0):
         self.engine = engine
         self.request_timeout_s = request_timeout_s
+        # items are (pre-featurized slot, want_pdb): featurization and
+        # its validation run in the HTTP request threads, so an invalid
+        # request fails alone (and n_designs featurizes once) instead of
+        # poisoning every request coalesced into its batch
         self.batcher = MicroBatcher(
-            lambda records: engine.design_records(records, return_pdb=True),
+            lambda items: engine.design_slots(
+                [s for s, _ in items],
+                return_pdb=[w for _, w in items]),
             max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
         self._httpd = _HTTPServer((host, port), self._make_handler())
         self._thread: threading.Thread | None = None
@@ -106,13 +112,16 @@ class DesignServer:
         if not 1 <= n <= 4 * self.engine.batch_size:
             raise ValueError(
                 f"n_designs must be in [1, {4 * self.engine.batch_size}]")
-        futures = [self.batcher.submit(record) for _ in range(n)]
+        want_pdb = bool(payload.get("return_pdb", True))
+        # featurize (and validate) here, once per request
+        slot = self.engine.featurize(record)
+        futures = [self.batcher.submit((slot, want_pdb)) for _ in range(n)]
         results = [f.result(timeout=self.request_timeout_s)
                    for f in futures]
         designs = []
         for r in results:
             d = {"sequence": r.sequence}
-            if payload.get("return_pdb", True) and r.pdb is not None:
+            if want_pdb and r.pdb is not None:
                 d["pdb"] = r.pdb
             if payload.get("return_angles", False):
                 d["angles"] = np.asarray(r.angles).tolist()

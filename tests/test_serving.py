@@ -299,7 +299,7 @@ def test_engine_from_checkpoints(tmp_path):
         ddim_steps=3)
     assert eng.cfg.max_seq_len == MAXLEN
     assert eng.cfg.ligand_max_len == 16
-    assert eng.sequence_timesteps == 6
+    assert eng.sequence_d3pm.timesteps == 6
     results = eng.design(_pocket(6, 7), n_designs=2,
                          key=jax.random.PRNGKey(5))
     assert len(results) == 2 and all(len(r.sequence) == 7 for r in results)
@@ -318,3 +318,56 @@ def test_engine_empty_and_oversized_requests():
         eng.featurize(_pocket(6, 40))      # peptide > ligand bucket (16)
     with pytest.raises(ValueError, match="serving shapes"):
         eng.featurize(_pocket(MAXLEN + 8, 5))   # pocket > receptor bucket
+
+
+def test_engine_device_nerf_matches_host_path(tmp_path):
+    """The engine's batched on-device NERF (padded length, trimmed +
+    centered on host) must reproduce the host chain.py reconstruction."""
+    from e3diff_tpu.geometry.chain import backbone_coords_from_angles
+
+    eng = _tiny_engine(batch_size=2)
+    results = eng.design_records([_pocket(6, 9), _pocket(5, 12, seed=4)],
+                                 key=jax.random.PRNGKey(3))
+    for res in results:
+        host = backbone_coords_from_angles(res.angles)   # float64 oracle
+        got = np.array([[float(l[30:38]), float(l[38:46]), float(l[46:54])]
+                        for l in res.pdb.splitlines()
+                        if l.startswith("ATOM")])
+        assert got.shape == host.shape
+        np.testing.assert_allclose(got, host, atol=2e-3)  # PDB has 3 dp
+
+
+def test_design_slots_per_slot_pdb_choice():
+    eng = _tiny_engine(batch_size=4)
+    slots = [eng.featurize(_pocket(5, 6, seed=s)) for s in range(3)]
+    res = eng.design_slots(slots, key=jax.random.PRNGKey(0),
+                           return_pdb=[True, False, True])
+    assert res[0].pdb is not None and res[2].pdb is not None
+    assert res[1].pdb is None
+
+
+def test_server_invalid_request_is_a_400_not_a_batch_poison():
+    eng = _tiny_engine(batch_size=4)
+    eng.warmup(key=jax.random.PRNGKey(0))
+    server = DesignServer(eng, port=0, max_wait_ms=5.0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        bad = _pocket(6, 40)   # peptide > ligand bucket
+        payload = {"pocket": {
+            "sequence": "".join(bad["amino_acid"][:6]),
+            "angles": np.asarray(bad["angle_features"][:6]).tolist(),
+            "peptide_length": 40}}
+        code, body = _http("POST", f"{base}/design", payload)
+        assert code == 400 and "serving shapes" in body["error"]
+        # the engine still serves valid requests afterwards
+        good = _pocket(6, 7)
+        code, body = _http("POST", f"{base}/design", {"pocket": {
+            "sequence": "".join(good["amino_acid"][:6]),
+            "angles": np.asarray(good["angle_features"][:6]).tolist(),
+            "peptide_length": 7}})
+        assert code == 200 and len(body["designs"][0]["sequence"]) == 7
+        # invalid requests never became batches
+        assert server.batcher.stats()["errors"] == 0
+    finally:
+        server.shutdown()
