@@ -242,11 +242,14 @@ class _Ladder:
         return max(p[1] for p in self.pairs)
 
 
-def compute_bridges(entries: list[_Entry], acceptors) -> dict:
+def compute_bridges(entries: list[_Entry], acceptors, test=None) -> dict:
     """(i, j) -> 'P'/'A' bridge map (Kabsch-Sander table 1; mkdssp
-    TestBridge incl. its i-1..i+1 / j-1..j+1 chain-continuity guards)."""
+    TestBridge incl. its i-1..i+1 / j-1..j+1 chain-continuity guards).
+    Pass a prebuilt `test` (from _make_testbond) to reuse the caller's
+    bond set instead of rebuilding it."""
     n = len(entries)
-    test = _make_testbond(acceptors)
+    if test is None:
+        test = _make_testbond(acceptors)
 
     def hb(a, b):
         # HB(a, b): CO(a) accepts from NH(b)
@@ -354,7 +357,7 @@ def assign_secondary_structure(entries: list[_Entry], acceptors,
 
     # --- beta sheets first (mkdssp runs CalculateBetaSheets before
     # CalculateAlphaHelices) ---
-    bridges = compute_bridges(entries, acceptors)
+    bridges = compute_bridges(entries, acceptors, test=test)
     for lad in build_ladders(entries, bridges):
         label = "E" if len(lad.pairs) > 1 else "B"
         # the full inclusive strand spans — a merged ladder's bulge gap

@@ -126,6 +126,11 @@ def train_loop(
         train_means = _mean_metrics(epoch_metrics)
         t_train_done = time.perf_counter()
         n_steps = len(epoch_metrics)
+        if profile_dir is not None and epoch == profile_epoch:
+            # stop BEFORE validation: the digest divides by the train
+            # step count, so the trace must hold train steps only
+            jax.profiler.stop_trace()
+            _log_profile_summary(profile_dir, n_steps, log_fn)
         steps_per_sec = ((n_steps - 1) / max(t_train_done - t_first_done, 1e-9)
                          if n_steps > 1 and t_first_done else 0.0)
         log_fn(f"Training Loss:{train_means.get('train_loss', float('nan'))}")
@@ -139,10 +144,6 @@ def train_loop(
                     trainer.eval_step(state, _clean(batch), val_rng))
             val_means = _mean_metrics(val_metrics)
             log_fn(f"Validation Loss:{val_means.get('val_loss', float('nan'))}")
-
-        if profile_dir is not None and epoch == profile_epoch:
-            jax.profiler.stop_trace()
-            _log_profile_summary(profile_dir, n_steps, log_fn)
 
         record = {"epoch": epoch, **train_means, **val_means,
                   "steps_per_sec": steps_per_sec,

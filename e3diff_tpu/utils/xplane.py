@@ -302,10 +302,13 @@ def top_ops(totals: dict, n: int = 20, steps: int = 1) -> list[tuple]:
     """The n most expensive ops:
     (name, category, ms_per_step, count_per_step, GFLOP/s achieved)."""
     rows = sorted(totals.items(), key=lambda kv: -kv[1]["ps"])[:n]
+    # achieved rate = TOTAL flops / TOTAL time — steps cancels out of the
+    # ratio (dividing only the numerator by steps understated the rate by
+    # exactly `steps`, making hot ops look slower than the aggregate)
     return [(name, info["category"],
              round(info["ps"] / 1e9 / max(steps, 1), 4),
              round(info["count"] / max(steps, 1), 1),
-             round(info["flops"] * info["count"] / max(steps, 1)
+             round(info["flops"] * info["count"]
                    / (info["ps"] / 1e12) / 1e9, 1) if info["ps"] else 0.0)
             for name, info in rows]
 

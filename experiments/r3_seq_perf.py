@@ -84,18 +84,7 @@ def _train_batch(b, l, l_lig=None):
 
 
 def _sample_batch(b, l_lig, l_rec):
-    rng = np.random.default_rng(0)
-    eye = np.eye(20, dtype=np.float32)
-    return {
-        "ligand_seq": eye[rng.integers(0, 20, (b, l_lig))],
-        "ligand_angles": rng.uniform(-np.pi, np.pi, (b, l_lig, 8)).astype(
-            np.float32),
-        "ligand_attn_mask": np.ones((b, l_lig), np.float32),
-        "receptor_seq": eye[rng.integers(0, 20, (b, l_rec))],
-        "receptor_angles": rng.uniform(-np.pi, np.pi, (b, l_rec, 8)).astype(
-            np.float32),
-        "receptor_attn_mask": np.ones((b, l_rec), np.float32),
-    }
+    return _train_batch(b, l_rec, l_lig)
 
 
 def _build(b, l, l_lig=None, **cfg_kw):

@@ -37,11 +37,29 @@ def compare_structure(path):
     from e3diff_tpu.data.native_structure import parse_structure_chains
     from e3diff_tpu.data.preprocessing import extract_dssp_features
 
-    parser = (MMCIFParser(QUIET=True) if path.endswith((".cif", ".cif.gz"))
-              else PDBParser(QUIET=True))
-    structure = parser.get_structure("87", path)[0]
-    bio = extract_dssp_features(structure, path)
-    native = native_dssp_features(parse_structure_chains(path))
+    # Bio.PDB's parsers and the external dssp binary only read plain
+    # text; BioLiP drops ship gzipped — decompress to a temp file for the
+    # reference engine (the native parser reads .gz directly)
+    work_path, tmp = path, None
+    if path.endswith(".gz"):
+        import gzip
+        import tempfile
+
+        suffix = os.path.splitext(path[:-3])[1] or ".pdb"
+        fd, tmp = tempfile.mkstemp(suffix=suffix)
+        with os.fdopen(fd, "wb") as f, gzip.open(path, "rb") as g:
+            f.write(g.read())
+        work_path = tmp
+    try:
+        parser = (MMCIFParser(QUIET=True)
+                  if path.endswith((".cif", ".cif.gz"))
+                  else PDBParser(QUIET=True))
+        structure = parser.get_structure("87", work_path)[0]
+        bio = extract_dssp_features(structure, work_path)
+        native = native_dssp_features(parse_structure_chains(path))
+    finally:
+        if tmp is not None:
+            os.unlink(tmp)
 
     report = {
         "file": os.path.basename(path),
@@ -194,6 +212,12 @@ def main(argv=None):
           f"partner mismatches: {totals['hbond_partner_mismatches']}")
     print(f"report written to {args.out}")
 
+    if totals["n_aligned"] == 0:
+        # nothing compared (every file failed, or the folder matched no
+        # parseable structures) — exit 0 here would read as "validated"
+        print("NO residues were compared "
+              f"({len(failures)} failures) — parity NOT validated.")
+        return 2
     if totals["aa_mismatches"] or totals["n_aligned"] < totals["n_residues"]:
         print("STRUCTURAL disagreement (residue sets or amino acids "
               "differ) — investigate before trusting either engine.")

@@ -117,6 +117,12 @@ def test_parse_roundtrip(tmp_path):
 
     top = top_ops(totals, n=2)
     assert top[0][0] == "dot.7" and top[1][0] == "fusion.1"
+    # achieved GFLOP/s is a rate: it must NOT change with the steps
+    # divisor (a past bug divided only the flops numerator by steps,
+    # understating every op's rate by exactly `steps`)
+    top5 = top_ops(totals, n=2, steps=5)
+    assert top5[0][4] == top[0][4] and top5[1][4] == top[1][4]
+    np.testing.assert_allclose(top5[0][2], top[0][2] / 5)  # ms/step scales
 
 
 def test_async_line_excluded_from_exclusive_totals(tmp_path):
