@@ -266,15 +266,7 @@ class DesignEngine:
             chunk = slots[start:start + self.batch_size]
             want_pdb = return_pdb[start:start + self.batch_size]
             n_valid = len(chunk)
-            batch = {}
-            for k in feat_keys:
-                stacked = np.stack([s[k] for s in chunk])
-                if n_valid < self.batch_size:
-                    pad = np.zeros(
-                        (self.batch_size - n_valid,) + stacked.shape[1:],
-                        stacked.dtype)
-                    stacked = np.concatenate([stacked, pad])
-                batch[k] = stacked
+            batch = self._stack_slots(chunk, feat_keys)
 
             key, k_struct, k_seq = jax.random.split(key, 3)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()
@@ -315,6 +307,64 @@ class DesignEngine:
                 results.append(DesignResult(sequence=seq, angles=ang,
                                             pdb=pdb,
                                             recovery_rate=recovery))
+        return results
+
+    def _stack_slots(self, chunk, feat_keys) -> dict:
+        """Stack per-slot features into one fixed (batch_size, ...) batch
+        (zero-padding the tail; dead slots carry all-zero attn masks)."""
+        batch = {}
+        for k in feat_keys:
+            stacked = np.stack([s[k] for s in chunk])
+            if len(chunk) < self.batch_size:
+                pad = np.zeros(
+                    (self.batch_size - len(chunk),) + stacked.shape[1:],
+                    stacked.dtype)
+                stacked = np.concatenate([stacked, pad])
+            batch[k] = stacked
+        return batch
+
+    def inverse_fold_slots(self, slots: Sequence[dict],
+                           key=None) -> list[DesignResult]:
+        """Inverse folding only: design sequences for the slots' OWN
+        ligand backbone angles (the reference's sample_sequence use case,
+        sequence_model/sample.py:231-258, as a service). The structure
+        sampler is skipped; recovery is reported against the record's
+        true sequence unless the ligand is synthetic."""
+        import jax
+        import jax.numpy as jnp
+
+        if not slots:
+            return []
+        if key is None:
+            key = jax.random.PRNGKey(np.random.SeedSequence().entropy
+                                     % (2 ** 32))
+        results: list[DesignResult] = []
+        feat_keys = [k for k in slots[0] if not k.startswith("_")]
+        for start in range(0, len(slots), self.batch_size):
+            chunk = slots[start:start + self.batch_size]
+            n_valid = len(chunk)
+            batch = self._stack_slots(chunk, feat_keys)
+            key, k_seq = jax.random.split(key)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k in ("ligand_angles", "ligand_attn_mask",
+                               "ligand_seq", "receptor_angles",
+                               "receptor_attn_mask", "receptor_seq")}
+            with self._device_lock:
+                logits = self._seq_run(self.sequence_params, jbatch, k_seq)
+                pred = np.asarray(logits).argmax(-1)
+            for i in range(n_valid):
+                length = int(batch["ligand_attn_mask"][i].sum())
+                seq = "".join(AA_VOCAB[j] for j in pred[i, :length])
+                recovery = None
+                if not chunk[i]["_synthetic_ligand"]:
+                    true = batch["ligand_seq"][i, :length].argmax(-1)
+                    recovery = float(
+                        (pred[i, :length] == true).sum() / max(length, 1))
+                results.append(DesignResult(
+                    sequence=seq,
+                    angles=np.asarray(
+                        batch["ligand_angles"][i, :length], np.float32),
+                    pdb=None, recovery_rate=recovery))
         return results
 
     # convenience used by the HTTP layer -------------------------------

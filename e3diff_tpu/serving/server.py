@@ -81,6 +81,12 @@ class DesignServer:
                 [s for s, _ in items],
                 return_pdb=[w for _, w in items]),
             max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
+        # inverse folding runs a different device program (sequence
+        # sampler only), so it coalesces in its own queue; the engine's
+        # device lock serializes the two programs on the chip
+        self.if_batcher = MicroBatcher(
+            engine.inverse_fold_slots,
+            max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
         self._httpd = _HTTPServer((host, port), self._make_handler())
         self._thread: threading.Thread | None = None
 
@@ -103,6 +109,7 @@ class DesignServer:
         if self._thread is not None:
             self._thread.join(5.0)
         self.batcher.shutdown()
+        self.if_batcher.shutdown()
 
     # ------------------------------------------------------------------
     def _handle_design(self, payload: dict) -> dict:
@@ -131,6 +138,29 @@ class DesignServer:
         return {"designs": designs,
                 "latency_ms": 1e3 * (time.monotonic() - t0)}
 
+    def _handle_inverse_fold(self, payload: dict) -> dict:
+        """Design sequences for the record's OWN backbone angles (no
+        structure sampling) — POST /inverse_fold {"record": {...},
+        "n_samples": k}."""
+        t0 = time.monotonic()
+        record = _record_from_json(payload)
+        n = int(payload.get("n_samples", 1))
+        if not 1 <= n <= 4 * self.engine.batch_size:
+            raise ValueError(
+                f"n_samples must be in [1, {4 * self.engine.batch_size}]")
+        slot = self.engine.featurize(record)
+        futures = [self.if_batcher.submit(slot) for _ in range(n)]
+        results = [f.result(timeout=self.request_timeout_s)
+                   for f in futures]
+        out = []
+        for r in results:
+            d = {"sequence": r.sequence}
+            if r.recovery_rate is not None:
+                d["recovery_rate"] = r.recovery_rate
+            out.append(d)
+        return {"sequences": out,
+                "latency_ms": 1e3 * (time.monotonic() - t0)}
+
     def _make_handler(self):
         server = self
 
@@ -153,18 +183,23 @@ class DesignServer:
                     ok = server.engine.ready
                     self._reply(200 if ok else 503, {"ok": ok})
                 elif self.path == "/stats":
-                    self._reply(200, server.batcher.stats())
+                    stats = server.batcher.stats()
+                    stats["inverse_fold"] = server.if_batcher.stats()
+                    self._reply(200, stats)
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/design":
+                routes = {"/design": server._handle_design,
+                          "/inverse_fold": server._handle_inverse_fold}
+                handler = routes.get(self.path)
+                if handler is None:
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    self._reply(200, server._handle_design(payload))
+                    self._reply(200, handler(payload))
                 except (ValueError, KeyError, TypeError) as exc:
                     self._reply(400, {"error": str(exc)})
                 except Exception as exc:  # noqa: BLE001 — surface as 500

@@ -44,7 +44,7 @@ def log_result(name, **kw):
     print(json.dumps(rec), flush=True)
 
 
-def build_engine(batch_size=64):
+def build_engine(batch_size=64, **engine_kw):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +102,7 @@ def build_engine(batch_size=64):
                                 timesteps=6 if TINY else 50)
     return DesignEngine(cfg, smodel, sparams, sdiff, qmodel, qparams,
                         d3pm, batch_size=batch_size, sampler="ddim",
-                        ddim_steps=3 if TINY else 25)
+                        ddim_steps=3 if TINY else 25, **engine_kw)
 
 
 def make_pockets(n, seed=0):
@@ -120,7 +120,7 @@ def make_pockets(n, seed=0):
     return out
 
 
-def bench_engine(engine, rounds=4):
+def bench_engine(engine, rounds=4, skip=False):
     import jax
 
     records = make_pockets(engine.batch_size)
@@ -138,7 +138,8 @@ def bench_engine(engine, rounds=4):
             times.append(time.perf_counter() - t0)
             assert len(res) == n_peptides
         best = min(times)
-        log_result("serve_engine", return_pdb=return_pdb,
+        log_result("serve_engine_skip25" if skip else "serve_engine",
+                   return_pdb=return_pdb,
                    batch=n_peptides, s_per_batch=round(best, 4),
                    designs_per_s=round(n_peptides / best, 1),
                    times=[round(t, 4) for t in times])
@@ -222,17 +223,21 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--exps", default="engine,http",
-                        help="comma list of: engine, http")
+                        help="comma list of: engine, http, http_tuned, "
+                             "engine_skip")
     exps = set(parser.parse_args().exps.split(","))
 
     if not TINY:
         enable_persistent_compilation_cache()
-    engine = build_engine(batch_size=8 if TINY else 64)
+    skip = "engine_skip" in exps
+    engine = build_engine(batch_size=8 if TINY else 64,
+                          **({"seq_skip_steps": 2 if TINY else 25}
+                             if skip else {}))
     t0 = time.perf_counter()
     engine.warmup()
     log_result("serve_warmup", s=round(time.perf_counter() - t0, 1))
-    if "engine" in exps:
-        bench_engine(engine, rounds=2 if TINY else 4)
+    if "engine" in exps or skip:
+        bench_engine(engine, rounds=2 if TINY else 4, skip=skip)
     if "http" in exps:
         bench_http(engine, clients=8 if TINY else 64,
                    reqs_per_client=2 if TINY else 4)

@@ -371,3 +371,50 @@ def test_server_invalid_request_is_a_400_not_a_batch_poison():
         assert server.batcher.stats()["errors"] == 0
     finally:
         server.shutdown()
+
+
+def test_engine_inverse_fold_real_records():
+    eng = _tiny_engine(batch_size=2)
+    records = synthetic_complexes(n=3, seed=6, receptor_len_range=(8, 12),
+                                  ligand_len_range=(5, 8))
+    slots = [eng.featurize(r) for r in records]
+    results = eng.inverse_fold_slots(slots, key=jax.random.PRNGKey(1))
+    assert len(results) == 3
+    for res, rec in zip(results, records):
+        want_len = int(np.asarray(rec["ligand_mask"]).sum())
+        assert len(res.sequence) == want_len
+        assert set(res.sequence) <= set(AA_VOCAB)
+        assert 0.0 <= res.recovery_rate <= 1.0
+        # the angles echoed back are the record's own ligand angles
+        true_angles = np.asarray(rec["angle_features"])[
+            np.asarray(rec["ligand_mask"], bool)]
+        np.testing.assert_allclose(res.angles, true_angles, rtol=1e-6)
+    assert eng.inverse_fold_slots([]) == []
+
+
+def test_server_inverse_fold_endpoint():
+    eng = _tiny_engine(batch_size=4)
+    eng.warmup(key=jax.random.PRNGKey(0))
+    server = DesignServer(eng, port=0, max_wait_ms=5.0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        rec = synthetic_complexes(n=1, seed=8, receptor_len_range=(8, 12),
+                                  ligand_len_range=(5, 8))[0]
+        payload = {"record": {
+            "amino_acid": list(rec["amino_acid"]),
+            "angle_features": np.asarray(rec["angle_features"]).tolist(),
+            "ligand_mask": np.asarray(rec["ligand_mask"]).astype(int).tolist(),
+            "pocket_mask": np.asarray(rec["pocket_mask"]).astype(int).tolist(),
+        }, "n_samples": 3}
+        code, body = _http("POST", f"{base}/inverse_fold", payload)
+        assert code == 200, body
+        want_len = int(np.asarray(rec["ligand_mask"]).sum())
+        assert len(body["sequences"]) == 3
+        for d in body["sequences"]:
+            assert len(d["sequence"]) == want_len
+            assert 0.0 <= d["recovery_rate"] <= 1.0
+        code, body = _http("GET", f"{base}/stats")
+        assert body["inverse_fold"]["batches"] >= 1
+    finally:
+        server.shutdown()
