@@ -35,6 +35,15 @@ SS_VOCAB = "HBEGITS-"
 FEATURE_NAMES = ["phi", "psi", "omega", "dihedral_o",
                  "tau", "CA:C:1N", "1C:N:CA", "CA:C:O"]
 
+# non-array bookkeeping keys carried by LigandBindingSiteData.batches()
+# that must never reach a jitted step / device transfer
+BATCH_META_KEYS = ("num_valid", "structure_ids")
+
+
+def strip_meta(batch: dict) -> dict:
+    """Drop the host-only bookkeeping keys from a batch dict."""
+    return {k: v for k, v in batch.items() if k not in BATCH_META_KEYS}
+
 
 def one_hot_encode(sequence: str, vocab: str) -> np.ndarray:
     idx = np.array([vocab.index(c) for c in sequence], dtype=np.int64)

@@ -87,7 +87,8 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    from e3diff_tpu.data.dataset import strip_meta
+
     sharding = batch_sharding(mesh)
     return {k: jax.device_put(np.asarray(v), sharding)
-            for k, v in batch.items()
-            if k not in ("num_valid", "structure_ids")}
+            for k, v in strip_meta(batch).items()}

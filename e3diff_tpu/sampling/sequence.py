@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from e3diff_tpu.data.dataset import AA_VOCAB
+from e3diff_tpu.data.dataset import AA_VOCAB, strip_meta
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
 
 
@@ -84,8 +84,8 @@ def sample_sequence_batches(
 
     for batch_idx, batch in enumerate(batches):
         key, bkey = jax.random.split(key)
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ("num_valid", "structure_ids")}
+        jbatch = {k: jnp.asarray(v)
+                  for k, v in strip_meta(batch).items()}
         if generated_angles is not None:
             jbatch["ligand_angles"] = jnp.asarray(
                 generated_angles[batch_idx], jbatch["ligand_angles"].dtype)

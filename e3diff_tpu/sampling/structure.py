@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from e3diff_tpu.data.dataset import strip_meta
 from e3diff_tpu.diffusion.gaussian import (
     GaussianAngleDiffusion,
     sample_wrapped_noise,
@@ -132,8 +133,8 @@ def sample_structure_batches(
     pending = None
     for batch in batches:
         key, bkey = jax.random.split(key)
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ("num_valid", "structure_ids")}
+        jbatch = {k: jnp.asarray(v)
+                  for k, v in strip_meta(batch).items()}
         final, traj = run(params, jbatch, bkey)  # async dispatch
         lengths = np.asarray(batch["ligand_attn_mask"]).sum(1).astype(int)
         num_valid = int(batch.get("num_valid", len(lengths)))

@@ -41,8 +41,9 @@ def _mean_metrics(history: list[dict]) -> dict:
 
 
 def _clean(batch: dict) -> dict:
-    return {k: v for k, v in batch.items()
-            if k not in ("num_valid", "structure_ids")}
+    from e3diff_tpu.data.dataset import strip_meta
+
+    return strip_meta(batch)
 
 
 def _log_profile_summary(profile_dir: str, n_steps: int,
@@ -76,7 +77,11 @@ def train_loop(
     rng,
     *,
     max_epochs: int,
-    min_epochs: int = 0,
+    min_epochs: int = 0,       # accepted for reference CONFIG parity; the
+                               # reference's Trainer(min_epochs=...) is
+                               # equally inert without an early-stop
+                               # callback (train_model.py:99-110), so
+                               # every run trains exactly max_epochs
     ckpt_dir: str | None = None,
     ckpt_mode: str = "max",          # Q4-faithful default
     ckpt_every: int = 1,             # 'last' (resume) save cadence, epochs
@@ -92,9 +97,20 @@ def train_loop(
         manager = CheckpointManager(ckpt_dir)
         best = BestTracker(manager, mode=ckpt_mode)
         if resume and manager.exists("last"):
-            restored = manager.restore(
-                "last", {"state": state, "epoch": 0})
+            try:
+                restored = manager.restore(
+                    "last", {"state": state, "epoch": 0, "best": 0.0})
+            except Exception:
+                # pre-'best' checkpoint layout (older runs)
+                restored = manager.restore(
+                    "last", {"state": state, "epoch": 0})
             state, start_epoch = restored["state"], int(restored["epoch"]) + 1
+            best_val = restored.get("best")
+            if best_val is not None and np.isfinite(best_val):
+                # without this, the first post-resume validation would
+                # unconditionally overwrite best_val_model (tracker
+                # restarts at None) even when it is strictly worse
+                best.best = float(best_val)
             log_fn(f"resumed from epoch {start_epoch}")
 
     history = []
@@ -122,6 +138,12 @@ def train_loop(
                 log_fn(f"epoch {epoch} step {i}: "
                        f"loss={float(metrics['train_loss']):.4f}")
 
+        if not epoch_metrics:
+            raise ValueError(
+                "train_batches yielded ZERO batches for epoch "
+                f"{epoch} — the train split is smaller than batch_size "
+                "under drop_last; training would silently save untrained "
+                "weights. Lower --batch_size or enlarge the dataset.")
         # _mean_metrics pulls every metric to host => syncs all steps
         train_means = _mean_metrics(epoch_metrics)
         t_train_done = time.perf_counter()
@@ -157,7 +179,10 @@ def train_loop(
                 best.update(val_means, {"params": state.params})
             if (epoch + 1) % max(ckpt_every, 1) == 0 \
                     or epoch == max_epochs - 1:
-                manager.save("last", {"state": state, "epoch": epoch})
+                manager.save("last", {
+                    "state": state, "epoch": epoch,
+                    "best": (float("nan") if best is None
+                             or best.best is None else best.best)})
 
     if manager is not None:
         manager.save_final(state.params)

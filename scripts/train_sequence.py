@@ -89,7 +89,14 @@ def main():
         abstract, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
         max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
         grad_clip=cfg.gradient_clip), ema_decay=cfg.ema_decay)
-    state = trainer.create_state(rng, sample_batch)
+    resuming = os.path.isdir(os.path.join(args.ckpt_dir, "last"))
+    if resuming and len(jax.devices()) == 1:
+        # restore only needs the state TREE as a template — skip the
+        # ~1-2 min device init that the checkpoint immediately replaces
+        state = jax.eval_shape(
+            lambda: trainer.create_state(rng, sample_batch))
+    else:
+        state = trainer.create_state(rng, sample_batch)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Model has {n_params} trainable parameters")
 

@@ -98,7 +98,14 @@ def main():
         rng, clean_batch)
     trainer = StructureTrainer(model, diffusion, make_opt(abstract),
                                ema_decay=cfg.ema_decay)
-    state = trainer.create_state(rng, clean_batch)
+    resuming = os.path.isdir(os.path.join(args.ckpt_dir, "last"))
+    if resuming and len(jax.devices()) == 1:
+        # restore only needs the state TREE as a template — skip the
+        # ~1-2 min device init that the checkpoint immediately replaces
+        state = jax.eval_shape(
+            lambda: trainer.create_state(rng, clean_batch))
+    else:
+        state = trainer.create_state(rng, clean_batch)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Model has {n_params} trainable parameters")
 

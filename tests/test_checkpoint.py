@@ -134,3 +134,66 @@ def test_ema_final_ema_saved_and_resumable(tmp_path):
                                ckpt_dir=ckpt_dir, log_fn=lambda *_: None)
     assert [h["epoch"] for h in hist2] == [2, 3]
     assert state2.ema_params is not None
+
+
+class _ScriptedTrainer:
+    """train_step is identity; eval_step returns a scripted val_loss."""
+
+    def __init__(self, vals):
+        self.vals = list(vals)
+
+    def train_step(self, state, batch, rng):
+        return state, {"train_loss": jnp.float32(0.0)}
+
+    def eval_step(self, state, batch, rng):
+        return {"val_loss": jnp.float32(self.vals.pop(0))}
+
+
+def _dummy_state():
+    import optax
+    from e3diff_tpu.training.structure import TrainState
+
+    return TrainState.create(apply_fn=lambda *a, **k: None,
+                             params={"w": jnp.zeros((2,))},
+                             tx=optax.sgd(0.1))
+
+
+def test_best_tracker_value_survives_resume(tmp_path):
+    """The tracked best metric is persisted in 'last': a resumed run must
+    NOT overwrite best_val_model with a worse first validation."""
+    import os
+    import time as _time
+
+    ckpt_dir = str(tmp_path / "run")
+    batches = lambda *_: iter([{"x": np.zeros(1)}])  # noqa: E731
+    rng = jax.random.PRNGKey(0)
+
+    train_loop(_ScriptedTrainer([0.5, 0.3]), _dummy_state(), batches,
+               batches, rng, max_epochs=2, ckpt_dir=ckpt_dir,
+               ckpt_mode="min", log_fn=lambda *_: None)
+    best_dir = os.path.join(ckpt_dir, "best_val_model")
+    mtime1 = os.path.getmtime(best_dir)
+    _time.sleep(0.05)
+
+    # resume with a WORSE validation (0.45 > 0.3): must not re-save best
+    train_loop(_ScriptedTrainer([0.45]), _dummy_state(), batches,
+               batches, rng, max_epochs=3, ckpt_dir=ckpt_dir,
+               ckpt_mode="min", log_fn=lambda *_: None)
+    assert os.path.getmtime(best_dir) == mtime1
+
+    # and a better one still wins
+    _time.sleep(0.05)
+    train_loop(_ScriptedTrainer([0.2]), _dummy_state(), batches,
+               batches, rng, max_epochs=4, ckpt_dir=ckpt_dir,
+               ckpt_mode="min", log_fn=lambda *_: None)
+    assert os.path.getmtime(best_dir) > mtime1
+
+
+def test_zero_batch_epoch_fails_loudly(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="ZERO batches"):
+        train_loop(_ScriptedTrainer([]), _dummy_state(),
+                   lambda *_: iter([]), None, jax.random.PRNGKey(0),
+                   max_epochs=1, ckpt_dir=str(tmp_path / "r"),
+                   log_fn=lambda *_: None)
