@@ -4,8 +4,9 @@ from e3diff_tpu.geometry.nerf import (
     nerf_build_backbone_np,
     NERF_DEFAULTS,
 )
-from e3diff_tpu.geometry.pdb import write_backbone_pdb
+from e3diff_tpu.geometry.pdb import backbone_pdb_text, write_backbone_pdb
 from e3diff_tpu.geometry.chain import (
+    backbone_coords_from_angles,
     create_chain_from_angles,
     write_pdb_folder,
     angle_error_rate,
@@ -17,6 +18,8 @@ __all__ = [
     "nerf_build_backbone_np",
     "NERF_DEFAULTS",
     "write_backbone_pdb",
+    "backbone_pdb_text",
+    "backbone_coords_from_angles",
     "create_chain_from_angles",
     "write_pdb_folder",
     "angle_error_rate",

@@ -19,7 +19,7 @@ weight-porting parity tests in tests/test_model_parity.py):
 Everything is shape-static and fuses cleanly under XLA; sequence lengths
 are 64/128 so plain einsum attention saturates the MXU without a custom
 kernel (a fused Pallas attention is available behind
-``e3diff_tpu.ops.fused_attention`` once benchmarks justify it).
+``e3diff_tpu.ops.pallas_kernels.fused_attention`` once benchmarks justify it).
 """
 
 from __future__ import annotations

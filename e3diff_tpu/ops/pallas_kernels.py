@@ -77,7 +77,8 @@ def fused_attention(q, k, v, mask_add, pe=None, *, num_heads: int,
     lk = k.shape[1]
     head_dim = f // num_heads
     block_b = min(block_b, b)
-    assert b % block_b == 0, (b, block_b)
+    while b % block_b:          # largest divisor of b not above block_b
+        block_b -= 1
     grid = (b // block_b,)
 
     in_specs = [

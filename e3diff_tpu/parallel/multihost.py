@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import numpy as np
 
+from e3diff_tpu.data.dataset import BATCH_META_KEYS, strip_meta
+
 from e3diff_tpu.parallel.mesh import batch_sharding
 
 
@@ -107,10 +109,9 @@ def pad_local_batch(local_batch: dict, target_rows: int) -> dict:
     out = {}
     rows = None
     for k, v in local_batch.items():
-        if k == "num_valid":
-            continue
-        if k == "structure_ids":
-            out[k] = v
+        if k in BATCH_META_KEYS:
+            if k == "structure_ids":
+                out[k] = v
             continue
         v = np.asarray(v)
         if rows is None:
@@ -143,8 +144,8 @@ def distribute_batch(local_batch: dict, mesh,
     sharding = batch_sharding(mesh)
     pc = jax.process_count()
     out = {}
-    rows = {np.asarray(v).shape[0] for k, v in local_batch.items()
-            if k not in ("num_valid", "structure_ids")}
+    rows = {np.asarray(v).shape[0]
+            for v in strip_meta(local_batch).values()}
     if len(rows) > 1:
         raise ValueError(f"inconsistent row counts across batch keys: {rows}")
     if pc > 1 and global_rows is not None and rows:
@@ -154,9 +155,7 @@ def distribute_batch(local_batch: dict, mesh,
                 f"local batch has {next(iter(rows))} rows but "
                 f"host_batch_rows({global_rows}) = {expected}; pad with "
                 f"pad_local_batch before distribute_batch")
-    for k, v in local_batch.items():
-        if k in ("num_valid", "structure_ids"):
-            continue
+    for k, v in strip_meta(local_batch).items():
         v = np.asarray(v)
         if pc == 1:
             out[k] = jax.device_put(v, sharding)
