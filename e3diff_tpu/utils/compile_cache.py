@@ -30,6 +30,8 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None):
     env = os.environ.get("E3DIFF_COMPILE_CACHE", "")
     if env.lower() in _OFF:
         return None
+    if env.lower() in ("1", "true", "yes", "on"):
+        env = ""   # force-enable spelling, not a directory named "1"
     if cache_dir is None:
         cache_dir = env if env else _DEFAULT_DIR
 

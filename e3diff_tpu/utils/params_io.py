@@ -17,6 +17,9 @@ import os
 def _restore_orbax(ckpt_path: str, abstract_params):
     from e3diff_tpu.training.checkpoint import CheckpointManager
 
+    # tab-completed trailing slashes would make basename '' and point
+    # the restore at the run dir itself
+    ckpt_path = os.path.normpath(ckpt_path)
     mgr = CheckpointManager(os.path.dirname(ckpt_path) or ".")
     restored = mgr.restore(os.path.basename(ckpt_path),
                            {"params": abstract_params})

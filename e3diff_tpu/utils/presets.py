@@ -173,8 +173,15 @@ def reconcile_run_config(cfg: ExperimentConfig, ckpt_dir: str,
     import os
 
     side = load_ckpt_config(ckpt_dir)
-    resumable = os.path.isdir(os.path.join(ckpt_dir, "last"))
-    if side is None or not resumable:
+    # Reconcile against any sidecar that sits next to CHECKPOINTS, not
+    # just resumable ones: a dir holding final/best whose 'last' was
+    # pruned (it is the multi-GB artifact) must not have its config.json
+    # clobbered by a retrain with different shapes — the sampling CLIs
+    # would silently adopt wrong values for the old weights. A sidecar
+    # with no checkpoint at all (run died before saving) is free.
+    has_ckpt = any(os.path.isdir(os.path.join(ckpt_dir, n))
+                   for n in ("last", "final", "best_val_model"))
+    if side is None or not has_ckpt:
         return cfg, {}
     known = _parser_flag_names(parser)
     adopted, conflicts = {}, []
@@ -188,10 +195,10 @@ def reconcile_run_config(cfg: ExperimentConfig, ckpt_dir: str,
             adopted[name] = side[name]
     if conflicts:
         raise SystemExit(
-            f"{ckpt_dir} holds a resumable run trained with a different "
+            f"{ckpt_dir} holds a run trained with a different "
             f"configuration: {'; '.join(conflicts)}. Use a fresh "
             "--ckpt_dir for a new configuration (or drop the flag to "
-            "resume with the checkpoint's value).")
+            "keep the checkpoint's value).")
     if adopted:
         cfg = dataclasses.replace(cfg, **adopted)
         pairs = ", ".join(f"{k}={v}" for k, v in adopted.items())
@@ -252,7 +259,7 @@ def _flag_on_command_line(name: str, argv=None, known_flags=None) -> bool:
     return False
 
 
-def adopt_ckpt_config(cfg: ExperimentConfig, args, parser, ckpt_path,
+def adopt_ckpt_config(cfg: ExperimentConfig, parser, ckpt_path,
                       fields=CKPT_BOUND_FIELDS, argv=None):
     """Adopt checkpoint-bound fields from the sidecar unless the flag was
     given on the command line (an explicit flag — even repeating the

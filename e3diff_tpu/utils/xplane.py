@@ -257,12 +257,26 @@ def _op_totals_from(planes: list[dict], line_filter) -> dict:
                 # CPU-plane bookkeeping events, not op time
                 if name.startswith(("ThreadpoolListener::", "end: ")):
                     continue
-                slot = totals.setdefault(name, {
-                    "ps": 0, "count": 0,
-                    "category": stats.get("hlo_category", ""),
-                    "flops": float(stats.get("flops", 0) or 0),
-                    "bytes": float(stats.get("bytes_accessed", 0) or 0),
-                })
+                fl = float(stats.get("flops", 0) or 0)
+                by = float(stats.get("bytes_accessed", 0) or 0)
+                # same op NAME from different XLA modules/planes can carry
+                # different per-execution flops/bytes — merging them under
+                # one slot would pair one module's flops with both
+                # modules' time (skewing every derived rate); split such
+                # collisions into name#2, name#3, ...
+                key, suffix = name, 2
+                slot = totals.get(key)
+                while slot is not None and (slot["flops"],
+                                            slot["bytes"]) != (fl, by):
+                    key = f"{name}#{suffix}"
+                    slot = totals.get(key)
+                    suffix += 1
+                if slot is None:
+                    slot = totals[key] = {
+                        "ps": 0, "count": 0,
+                        "category": stats.get("hlo_category", ""),
+                        "flops": fl, "bytes": by,
+                    }
                 slot["ps"] += ev["duration_ps"]
                 slot["count"] += 1
     return totals

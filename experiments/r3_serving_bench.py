@@ -214,6 +214,80 @@ def bench_http(engine, clients=64, reqs_per_client=4, max_wait_ms=10.0):
         server.shutdown()
 
 
+def bench_soak(engine, seconds=120, clients=32):
+    """Mixed /design + /inverse_fold traffic from closed-loop clients for
+    a sustained window: validates the two micro-batch queues interleave
+    safely on one chip (shared device lock) with zero errors."""
+    from e3diff_tpu.serving import DesignServer
+
+    server = DesignServer(engine, port=0, max_wait_ms=15.0)
+    server.start()
+    port = server.port
+    pockets = make_pockets(clients, seed=11)
+    design_payloads, if_payloads = [], []
+    for i, p in enumerate(pockets):
+        n_pocket = int(np.asarray(p["pocket_mask"]).sum())
+        pocket = {"sequence": "".join(p["amino_acid"][:n_pocket]),
+                  "angles": np.asarray(
+                      p["angle_features"][:n_pocket]).tolist(),
+                  "peptide_length": int(np.asarray(p["ligand_mask"]).sum())}
+        design_payloads.append({"pocket": pocket,
+                                "return_pdb": bool(i % 2)})
+        if_payloads.append({"record": {
+            "amino_acid": list(p["amino_acid"]),
+            "angle_features": np.asarray(p["angle_features"]).tolist(),
+            "ligand_mask": np.asarray(p["ligand_mask"]).astype(
+                int).tolist(),
+            "pocket_mask": np.asarray(p["pocket_mask"]).astype(
+                int).tolist()}, "n_samples": 2})
+    counts = {"design": 0, "inverse_fold": 0}
+    errors = []
+    deadline = time.perf_counter() + seconds
+    lock = threading.Lock()
+
+    def client(i):
+        kind = "design" if i % 2 == 0 else "inverse_fold"
+        payload = (design_payloads if kind == "design"
+                   else if_payloads)[i % len(pockets)]
+        while time.perf_counter() < deadline:
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/{kind}",
+                    data=json.dumps(payload).encode(), method="POST")
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    json.loads(r.read())
+                with lock:
+                    counts[kind] += 1
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+                return
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    try:
+        stats = server.batcher.stats()
+        if_stats = server.if_batcher.stats()
+        log_result("serve_soak", seconds=round(wall, 1), clients=clients,
+                   design_reqs=counts["design"],
+                   inverse_fold_reqs=counts["inverse_fold"],
+                   total_req_per_s=round(
+                       (counts["design"] + counts["inverse_fold"]) / wall,
+                       1),
+                   errors=len(errors), error_sample=errors[:2],
+                   design_occupancy=round(
+                       stats["mean_batch_occupancy"], 1),
+                   if_occupancy=round(
+                       if_stats["mean_batch_occupancy"], 1))
+    finally:
+        server.shutdown()
+
+
 def main():
     import argparse
 
@@ -224,7 +298,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--exps", default="engine,http",
                         help="comma list of: engine, http, http_tuned, "
-                             "engine_skip")
+                             "engine_skip, soak")
     exps = set(parser.parse_args().exps.split(","))
 
     if not TINY:
@@ -241,6 +315,9 @@ def main():
     if "http" in exps:
         bench_http(engine, clients=8 if TINY else 64,
                    reqs_per_client=2 if TINY else 4)
+    if "soak" in exps:
+        bench_soak(engine, seconds=5 if TINY else 120,
+                   clients=8 if TINY else 32)
     if "http_tuned" in exps:
         # larger coalescing window: a partial batch costs the same device
         # time as a full one (fixed shapes), so waiting longer under

@@ -37,11 +37,16 @@ def main():
                              "samples came from")
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
-    if not args.synthetic and not args.data_file:
+    if not args.angles and not args.sequences:
+        parser.error("pass --angles and/or --sequences")
+    # sequences-only evaluation never touches ground truth: the record
+    # pickle already carries per-sample recovery rates
+    needs_data = bool(args.angles)
+    if needs_data and not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
     if args.config:
-        cfg, _ = adopt_ckpt_config(cfg, args, parser, args.config)
+        cfg, _ = adopt_ckpt_config(cfg, parser, args.config)
 
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
     from e3diff_tpu.data.dataset import load_complexes
@@ -50,15 +55,14 @@ def main():
         summarize_samples,
     )
 
-    complexes = (synthetic_complexes(n=args.synthetic_n) if args.synthetic
-                 else load_complexes(args.data_file))
-    test_ds = LigandBindingSiteData(complexes, "test", cfg.max_seq_len,
-                                    cfg.pocket_ext, cfg.ligand_max_len)
-
-    truth = [test_ds[i]["ligand_angles"][:test_ds[i]["ligand_length"]]
-             for i in range(len(test_ds))]
-
     if args.angles:
+        complexes = (synthetic_complexes(n=args.synthetic_n)
+                     if args.synthetic else load_complexes(args.data_file))
+        test_ds = LigandBindingSiteData(complexes, "test", cfg.max_seq_len,
+                                        cfg.pocket_ext, cfg.ligand_max_len)
+        examples = [test_ds[i] for i in range(len(test_ds))]
+        truth = [ex["ligand_angles"][:ex["ligand_length"]]
+                 for ex in examples]
         with open(args.angles, "rb") as f:
             sampled = pickle.load(f)
         sampled = [np.asarray(s)[-1] if np.asarray(s).ndim == 3

@@ -42,13 +42,17 @@ def main():
     cfg = config_from_args(args)
     # shared/data + structure-architecture fields follow the structure
     # checkpoint's sidecar; the sequence-specific knobs follow its own
-    cfg, _ = adopt_ckpt_config(cfg, args, parser, args.structure_ckpt)
+    cfg, _ = adopt_ckpt_config(cfg, parser, args.structure_ckpt)
     qside = load_ckpt_config(args.sequence_ckpt) or {}
-    from e3diff_tpu.utils.presets import _flag_on_command_line
-    if not _flag_on_command_line("sequence_timesteps") \
+    from e3diff_tpu.utils.presets import (
+        _flag_on_command_line,
+        _parser_flag_names,
+    )
+    known = _parser_flag_names(parser)   # prefix-abbreviation aware
+    if not _flag_on_command_line("sequence_timesteps", known_flags=known) \
             and "timesteps" in qside:
         args.sequence_timesteps = qside["timesteps"]
-    if not _flag_on_command_line("sequence_layers") \
+    if not _flag_on_command_line("sequence_layers", known_flags=known) \
             and "num_hidden_layers" in qside:
         args.sequence_layers = qside["num_hidden_layers"]
     from e3diff_tpu.utils.presets import CKPT_BOUND_FIELDS

@@ -41,7 +41,7 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
-    cfg, _ = adopt_ckpt_config(cfg, args, parser, args.ckpt)
+    cfg, _ = adopt_ckpt_config(cfg, parser, args.ckpt)
 
 
     import jax
@@ -69,9 +69,19 @@ def main():
     batches = list(test_ds.batches(cfg.batch_size))
     n_needed = sum(int(b["num_valid"]) for b in batches)
     if len(generated) < n_needed:
-        batches = batches[:max(1, len(generated) // cfg.batch_size)]
-        print(f"only {len(generated)} generated samples; "
-              f"restricting to {len(batches)} batches")
+        # keep enough batches to cover every generated sample and clamp
+        # the last one's num_valid to the remainder (its uncovered slots
+        # get zero-padded angles in _pad_generated and drop out of the
+        # results like any padded slot)
+        keep = max(1, -(-len(generated) // cfg.batch_size))
+        batches = batches[:keep]
+        covered = 0
+        for b in batches:
+            valid = min(int(b["num_valid"]), len(generated) - covered)
+            b["num_valid"] = np.int32(valid)
+            covered += valid
+        print(f"only {len(generated)} generated samples; restricting to "
+              f"{len(batches)} batches ({covered} designs)")
     gen_batches = _pad_generated(generated, test_ds.ligand_max_len, batches)
 
     model = build_sequence_model(cfg)

@@ -62,7 +62,7 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
-    cfg, _ = adopt_ckpt_config(cfg, args, parser, args.ckpt)
+    cfg, _ = adopt_ckpt_config(cfg, parser, args.ckpt)
 
 
     import jax

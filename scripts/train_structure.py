@@ -136,9 +136,10 @@ def main():
         # run's history.json instead of clobbering it with []
         print("done; no epochs to run (already trained to max_epochs)")
         return
-    import json
-    with open(os.path.join(args.ckpt_dir, "history.json"), "w") as f:
-        json.dump(history, f, indent=1)
+    if jax.process_index() == 0:   # one writer on shared storage
+        import json
+        with open(os.path.join(args.ckpt_dir, "history.json"), "w") as f:
+            json.dump(history, f, indent=1)
     print(f"done; final val_loss="
           f"{history[-1].get('val_loss', float('nan')):.4f}")
 

@@ -222,3 +222,26 @@ def test_train_cli_profile_dir(tmp_path, monkeypatch, capsys):
     assert "device buckets (ms/step)" in out
     assert "profile roofline" in out
     assert os.path.isdir(os.path.join(prof, "plugins", "profile"))
+
+
+def test_sample_by_generated_angles_partial_supply(trained, monkeypatch,
+                                                   capsys):
+    """Fewer generated samples than test complexes: the CLI must clamp
+    the kept batches' num_valid to the supply instead of crashing on a
+    batch-dim mismatch (review r3)."""
+    base, _, q_dir = trained
+    with open(base / "angles.pkl", "rb") as f:
+        angles = pickle.load(f)
+    short = angles[:2]  # fewer than one full batch of valid rows
+    with open(base / "angles_short.pkl", "wb") as f:
+        pickle.dump(short, f)
+    _run("scripts.sample_by_generated_angles",
+         ["x", "--data_file", "x", "--synthetic", "--ckpt", f"{q_dir}/final",
+          "--generated", str(base / "angles_short.pkl"),
+          "--output", str(base / "gen_seqs_short.pkl"),
+          "--timesteps", "10"] + TINY, monkeypatch)
+    out = capsys.readouterr().out
+    assert "restricting" in out
+    with open(base / "gen_seqs_short.pkl", "rb") as f:
+        res = pickle.load(f)
+    assert len(res["recovery_rate"]) == 2  # exactly the supplied designs

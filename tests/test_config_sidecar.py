@@ -44,7 +44,7 @@ def test_adopt_fills_unset_flags(tmp_path):
     parser, args = _cli([])  # sampling defaults: ext0 / L=64
     cfg = config_from_args(args)
     assert (cfg.pocket_ext, cfg.max_seq_len) == (0, 64)
-    cfg, adopted = adopt_ckpt_config(cfg, args, parser,
+    cfg, adopted = adopt_ckpt_config(cfg, parser,
                                      str(tmp_path / "final"), argv=[])
     assert (cfg.pocket_ext, cfg.max_seq_len) == (4, 128)
     assert set(adopted) == {"pocket_ext", "max_seq_len"}
@@ -55,7 +55,7 @@ def test_explicit_flag_beats_sidecar(tmp_path):
     argv = ["--max_seq_len", "96"]
     parser, args = _cli(argv)
     cfg = config_from_args(args)
-    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+    cfg, adopted = adopt_ckpt_config(cfg, parser, str(tmp_path),
                                      argv=argv)
     assert cfg.max_seq_len == 96          # user flag wins
     assert cfg.pocket_ext == 4            # unset flag still adopted
@@ -69,7 +69,7 @@ def test_explicit_flag_equal_to_default_beats_sidecar(tmp_path):
     argv = ["--max_seq_len", "64"]  # == the sampling preset default
     parser, args = _cli(argv)
     cfg = config_from_args(args)
-    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+    cfg, adopted = adopt_ckpt_config(cfg, parser, str(tmp_path),
                                      argv=argv)
     assert cfg.max_seq_len == 64
     assert "max_seq_len" not in adopted
@@ -79,7 +79,7 @@ def test_explicit_flag_equal_to_default_beats_sidecar(tmp_path):
 def test_no_sidecar_is_noop(tmp_path):
     parser, args = _cli([])
     cfg = config_from_args(args)
-    cfg2, adopted = adopt_ckpt_config(cfg, args, parser,
+    cfg2, adopted = adopt_ckpt_config(cfg, parser,
                                       str(tmp_path / "weights.pt"),
                                       argv=[])
     assert cfg2 == cfg and adopted == {}
@@ -93,7 +93,7 @@ def test_abbreviated_flag_beats_sidecar(tmp_path):
     parser, args = _cli(argv)
     assert args.timesteps == 100  # argparse resolved the abbreviation
     cfg = config_from_args(args)
-    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+    cfg, adopted = adopt_ckpt_config(cfg, parser, str(tmp_path),
                                      argv=argv)
     assert cfg.timesteps == 100
     assert "timesteps" not in adopted
@@ -108,7 +108,7 @@ def test_ambiguous_prefix_does_not_count_as_explicit(tmp_path):
     argv = ["--lr", "1e-4"]
     parser, args = _cli(argv)
     cfg = config_from_args(args)
-    cfg, adopted = adopt_ckpt_config(cfg, args, parser, str(tmp_path),
+    cfg, adopted = adopt_ckpt_config(cfg, parser, str(tmp_path),
                                      argv=argv,
                                      fields=("lr_scheduler",))
     assert adopted == {"lr_scheduler": "Custom"}
@@ -155,9 +155,9 @@ def test_reconcile_refuses_explicit_mismatch(tmp_path):
         reconcile_run_config(cfg, run, parser, argv=argv)
 
 
-def test_reconcile_noop_without_resumable_checkpoint(tmp_path):
-    """A sidecar left by a run that never checkpointed doesn't constrain
-    a fresh invocation (nothing to resume)."""
+def test_reconcile_noop_without_any_checkpoint(tmp_path):
+    """A sidecar left by a run that never saved a checkpoint doesn't
+    constrain a fresh invocation (nothing to protect)."""
     from e3diff_tpu.utils.presets import reconcile_run_config
 
     run = str(tmp_path / "run")
@@ -168,6 +168,31 @@ def test_reconcile_noop_without_resumable_checkpoint(tmp_path):
     cfg = config_from_args(parser.parse_args(argv))
     cfg2, adopted = reconcile_run_config(cfg, run, parser, argv=argv)
     assert cfg2 == cfg and adopted == {}
+
+
+def test_reconcile_protects_finished_run_without_last(tmp_path):
+    """A dir holding 'final' whose multi-GB 'last' was pruned must still
+    refuse a conflicting retrain (the sidecar describes the kept
+    weights) and adopt checkpoint-bound fields otherwise."""
+    import pytest
+
+    from e3diff_tpu.utils.presets import reconcile_run_config
+
+    run = str(tmp_path / "run")
+    save_config(structure_train_config(), run)          # max_seq_len=128
+    os.makedirs(os.path.join(run, "final"))
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, structure_train_config())
+
+    argv = ["--max_seq_len", "64"]
+    cfg = config_from_args(parser.parse_args(argv))
+    with pytest.raises(SystemExit, match="different"):
+        reconcile_run_config(cfg, run, parser, argv=argv)
+
+    cfg = config_from_args(parser.parse_args(["--lr", "1e-4"]))
+    cfg2, adopted = reconcile_run_config(cfg, run, parser,
+                                         argv=["--lr", "1e-4"])
+    assert cfg2.max_seq_len == 128 and cfg2.lr == 1e-4
 
 
 def test_save_config_atomic_leaves_no_tmp(tmp_path):
