@@ -186,6 +186,17 @@ class DesignServer:
                     stats = server.batcher.stats()
                     stats["inverse_fold"] = server.if_batcher.stats()
                     self._reply(200, stats)
+                elif self.path == "/config":
+                    import dataclasses as dc
+
+                    eng = server.engine
+                    self._reply(200, {
+                        "experiment": dc.asdict(eng.cfg),
+                        "batch_size": eng.batch_size,
+                        "structure_timesteps":
+                            eng.structure_diffusion.timesteps,
+                        "sequence_timesteps": eng.sequence_d3pm.timesteps,
+                    })
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 

@@ -245,3 +245,37 @@ def test_sample_by_generated_angles_partial_supply(trained, monkeypatch,
     with open(base / "gen_seqs_short.pkl", "rb") as f:
         res = pickle.load(f)
     assert len(res["recovery_rate"]) == 2  # exactly the supplied designs
+
+
+def test_prune_ckpt_cli(trained, monkeypatch, capsys):
+    """prune_ckpt removes 'last' (+ stray .tmp) but keeps the inference
+    artifacts and refuses to run when nothing keepable exists."""
+    import shutil
+
+    from e3diff_tpu.utils.presets import load_ckpt_config
+
+    base, s_dir, _ = trained
+    run = str(base / "prune_me")
+    shutil.copytree(s_dir, run)
+    os.makedirs(os.path.join(run, "last.orbax-checkpoint-tmp.tmp"),
+                exist_ok=True)
+
+    _run("scripts.prune_ckpt", ["x", run, "--dry_run"], monkeypatch)
+    assert os.path.isdir(os.path.join(run, "last"))  # dry run: untouched
+
+    _run("scripts.prune_ckpt", ["x", run], monkeypatch)
+    assert not os.path.isdir(os.path.join(run, "last"))
+    assert not os.path.isdir(os.path.join(run,
+                                          "last.orbax-checkpoint-tmp.tmp"))
+    assert os.path.isdir(os.path.join(run, "final"))
+    assert load_ckpt_config(run) is not None      # sidecar survives
+    out = capsys.readouterr().out
+    assert "freed" in out
+
+    # a dir with no keepable artifact is refused
+    import pytest
+
+    empty = str(base / "empty_run")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(SystemExit, match="NO usable weights"):
+        _run("scripts.prune_ckpt", ["x", empty], monkeypatch)

@@ -418,3 +418,19 @@ def test_server_inverse_fold_endpoint():
         assert body["inverse_fold"]["batches"] >= 1
     finally:
         server.shutdown()
+
+
+def test_server_config_endpoint():
+    eng = _tiny_engine(batch_size=4)
+    server = DesignServer(eng, port=0)
+    server.start()
+    try:
+        code, body = _http("GET",
+                           f"http://127.0.0.1:{server.port}/config")
+        assert code == 200
+        assert body["batch_size"] == 4
+        assert body["experiment"]["ligand_max_len"] == 16
+        assert body["structure_timesteps"] == 8
+        assert body["sequence_timesteps"] == 6
+    finally:
+        server.shutdown()
