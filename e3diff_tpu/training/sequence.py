@@ -30,7 +30,7 @@ from flax.training import train_state
 
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
 from e3diff_tpu.ops.elbo import elbo_loss
-from e3diff_tpu.training.optim import ema_update
+from e3diff_tpu.training.optim import accumulated_value_and_grad, ema_update
 
 
 def masked_cross_entropy(logits, target_onehot, mask):
@@ -86,6 +86,8 @@ class SequenceTrainer:
     diffusion: D3PMDiffusion
     optimizer: optax.GradientTransformation
     ema_decay: float = 0.0    # 0 = off (reference-faithful)
+    accum_steps: int = 1      # >1: scan-accumulated microbatch gradients
+                              # (training/optim.py::accumulated_value_and_grad)
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_seq"].shape[0]
@@ -150,9 +152,9 @@ class SequenceTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch, rng):
-        (loss, metrics), grads = jax.value_and_grad(
-            self._losses, argnums=0, has_aux=True)(
-                state.params, batch, rng, False)
+        (loss, metrics), grads = accumulated_value_and_grad(
+            lambda p, b, r: self._losses(p, b, r, False),
+            state.params, batch, rng, self.accum_steps)
         state = state.apply_gradients(grads=grads)
         if self.ema_decay:  # static branch: self is a jit-static arg
             state = state.replace(ema_params=ema_update(

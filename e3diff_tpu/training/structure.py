@@ -25,7 +25,7 @@ from flax.training import train_state
 
 from e3diff_tpu.diffusion.gaussian import GaussianAngleDiffusion
 from e3diff_tpu.ops.angles import wrap_angle
-from e3diff_tpu.training.optim import ema_update
+from e3diff_tpu.training.optim import accumulated_value_and_grad, ema_update
 
 FEATURE_NAMES = ["phi", "psi", "omega", "dihedral_o",
                  "tau", "CA:C:1N", "1C:N:CA", "CA:C:O"]
@@ -87,6 +87,8 @@ class StructureTrainer:
     diffusion: GaussianAngleDiffusion
     optimizer: optax.GradientTransformation
     ema_decay: float = 0.0    # 0 = off (reference-faithful)
+    accum_steps: int = 1      # >1: scan-accumulated microbatch gradients
+                              # (training/optim.py::accumulated_value_and_grad)
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_angles"].shape[:2]
@@ -142,9 +144,9 @@ class StructureTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch, rng):
-        (loss, terms), grads = jax.value_and_grad(
-            self._losses, argnums=0, has_aux=True)(
-                state.params, batch, rng, False)
+        (loss, terms), grads = accumulated_value_and_grad(
+            lambda p, b, r: self._losses(p, b, r, False),
+            state.params, batch, rng, self.accum_steps)
         state = state.apply_gradients(grads=grads)
         if self.ema_decay:  # static branch: self is a jit-static arg
             state = state.replace(ema_params=ema_update(

@@ -58,6 +58,15 @@ class ExperimentConfig:
     # When on, training keeps an EMA copy updated each step and the run
     # saves a final_ema params checkpoint alongside final.
     ema_decay: float = 0.0
+    # >1: split each batch into accum_steps microbatches scanned inside
+    # the jitted step (gradient accumulation) — activation memory drops
+    # to a batch_size/accum_steps step, so effective batches past the
+    # single-shot OOM point train (--batch_size 256 --accum_steps 4 for
+    # the 146M model). batch_size must be divisible by accum_steps.
+    accum_steps: int = 1
+    # AdamW first-moment dtype: f32 (reference-faithful) or bf16 — halves
+    # the mu stream of the HBM-bandwidth-bound train step (BENCHMARKS.md)
+    mu_dtype: str = "f32"
 
 
 def structure_train_config(**overrides) -> ExperimentConfig:
@@ -124,11 +133,12 @@ CKPT_BOUND_FIELDS = (
 )
 
 # Additionally bound for TRAIN resumes only: ema_decay on/off changes the
-# train-state pytree ('last' holds an ema_params branch), so a resume
-# must match the original run — but it neither sizes the inference params
-# nor constrains sampling, so it stays out of CKPT_BOUND_FIELDS (which
-# sampling CLIs adopt and the pipeline cross-checks between models).
-TRAIN_BOUND_FIELDS = CKPT_BOUND_FIELDS + ("ema_decay",)
+# train-state pytree ('last' holds an ema_params branch) and mu_dtype
+# changes the opt-state dtypes, so a resume must match the original run —
+# but neither sizes the inference params nor constrains sampling, so they
+# stay out of CKPT_BOUND_FIELDS (which sampling CLIs adopt and the
+# pipeline cross-checks between models).
+TRAIN_BOUND_FIELDS = CKPT_BOUND_FIELDS + ("ema_decay", "mu_dtype")
 
 
 def save_config(cfg: ExperimentConfig, ckpt_dir: str) -> str:

@@ -40,6 +40,9 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
+    if cfg.accum_steps < 1 or cfg.batch_size % cfg.accum_steps:
+        parser.error(f"--batch_size {cfg.batch_size} must be divisible "
+                     f"by --accum_steps {cfg.accum_steps}")
     if args.multihost:
         # before ANY backend touch (including the sidecar's process gate)
         from e3diff_tpu.parallel import initialize_multihost
@@ -88,7 +91,8 @@ def main():
     trainer = SequenceTrainer(model, d3pm, make_optimizer(
         abstract, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
         max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
-        grad_clip=cfg.gradient_clip), ema_decay=cfg.ema_decay)
+        grad_clip=cfg.gradient_clip, mu_dtype=cfg.mu_dtype),
+        ema_decay=cfg.ema_decay, accum_steps=cfg.accum_steps)
     resuming = os.path.isdir(os.path.join(args.ckpt_dir, "last"))
     if resuming and len(jax.devices()) == 1:
         # restore only needs the state TREE as a template — skip the

@@ -42,6 +42,9 @@ def main():
     if not args.synthetic and not args.data_file:
         parser.error("--data_file is required unless --synthetic")
     cfg = config_from_args(args)
+    if cfg.accum_steps < 1 or cfg.batch_size % cfg.accum_steps:
+        parser.error(f"--batch_size {cfg.batch_size} must be divisible "
+                     f"by --accum_steps {cfg.accum_steps}")
     if args.multihost:
         # before ANY backend touch (including the sidecar's process gate)
         from e3diff_tpu.parallel import initialize_multihost
@@ -89,7 +92,7 @@ def main():
         return make_optimizer(
             params_example, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
             max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
-            grad_clip=cfg.gradient_clip)
+            grad_clip=cfg.gradient_clip, mu_dtype=cfg.mu_dtype)
 
     # the optimizer's decay mask only needs the params TREE — eval_shape
     # provides it for free (a throwaway real init costs ~1-2 min of
@@ -97,7 +100,8 @@ def main():
     abstract = StructureTrainer(model, diffusion, None).abstract_params(
         rng, clean_batch)
     trainer = StructureTrainer(model, diffusion, make_opt(abstract),
-                               ema_decay=cfg.ema_decay)
+                               ema_decay=cfg.ema_decay,
+                               accum_steps=cfg.accum_steps)
     resuming = os.path.isdir(os.path.join(args.ckpt_dir, "last"))
     if resuming and len(jax.devices()) == 1:
         # restore only needs the state TREE as a template — skip the

@@ -265,3 +265,158 @@ def test_ema_tracking_semantics():
     p2 = jax.tree.map(np.asarray, state.params)
     leaf = lambda t: t["angles_predictor"]["dense1"]["kernel"]
     chex(leaf(ema2), d * leaf(ema1) + (1 - d) * leaf(p2), rtol=1e-5)
+
+
+def test_accum_grads_match_manual_microbatch_average():
+    """accum_steps=n applies the MEAN of the n interleaved-microbatch
+    gradients (each microbatch with its own rng fold), exactly as if the
+    microbatch value_and_grads were run in a Python loop and averaged."""
+    batch = {k: v for k, v in _data().items()
+             if k not in ("num_valid", "structure_ids")}
+    model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
+    diff = GaussianAngleDiffusion.cosine(100)
+    opt = make_optimizer(None, base_lr=1e-3, max_epochs=4, steps_per_epoch=1)
+    base = StructureTrainer(model, diff, opt)
+    acc = StructureTrainer(model, diff, opt, accum_steps=2)
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(7)
+
+    # manual path: same interleaved split + rng folds the helper documents
+    state0 = base.create_state(jax.random.PRNGKey(0), batch)
+    rngs = jax.random.split(rng, 2)
+    micro = jax.tree.map(
+        lambda a: a.reshape(a.shape[0] // 2, 2, *a.shape[1:]), jbatch)
+    grads, losses, termss = [], [], []
+    for j in range(2):
+        mb = jax.tree.map(lambda a: a[:, j], micro)
+        (l, t), g = jax.value_and_grad(base._losses, has_aux=True)(
+            state0.params, mb, rngs[j], False)
+        grads.append(g)
+        losses.append(l)
+        termss.append(t)
+    avg_grads = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    expected = state0.apply_gradients(grads=avg_grads)
+
+    # the helper's gradients == the manual average (f32 summation-order
+    # tolerance only)
+    from e3diff_tpu.training.optim import accumulated_value_and_grad
+    (hl, ht), hg = jax.jit(
+        lambda p, b, r: accumulated_value_and_grad(
+            lambda pp, bb, rr: base._losses(pp, bb, rr, False),
+            p, b, r, 2))(state0.params, jbatch, rng)
+    np.testing.assert_allclose(float(hl), float((losses[0] + losses[1]) / 2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ht),
+                               np.asarray((termss[0] + termss[1]) / 2),
+                               rtol=1e-5, atol=1e-7)
+    for (pa, a), (pe, e) in zip(
+            jax.tree_util.tree_leaves_with_path(hg),
+            jax.tree_util.tree_leaves_with_path(avg_grads)):
+        assert pa == pe
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-7, err_msg=str(pa))
+
+    actual0 = acc.create_state(jax.random.PRNGKey(0), batch)
+    actual, metrics = acc.train_step(actual0, dict(jbatch), rng)
+
+    np.testing.assert_allclose(
+        float(metrics["train_loss"]), float((losses[0] + losses[1]) / 2),
+        rtol=1e-6)
+    exp_terms = np.asarray((termss[0] + termss[1]) / 2)
+    act_terms = np.array([float(metrics[f"train_loss_{n}"])
+                          for n in ["phi", "psi", "omega", "dihedral_o",
+                                    "tau", "CA:C:1N", "1C:N:CA", "CA:C:O"]])
+    np.testing.assert_allclose(act_terms, exp_terms, rtol=1e-5, atol=1e-7)
+    import optax
+    np.testing.assert_allclose(float(metrics["grad_norm"]),
+                               float(optax.global_norm(avg_grads)), rtol=1e-5)
+    # post-AdamW params: loose tolerance — g/sqrt(v) amplifies summation
+    # -order noise wherever a gradient entry is ~0 (the grads themselves
+    # are pinned tight above)
+    for (pa, a), (pe, e) in zip(
+            jax.tree_util.tree_leaves_with_path(actual.params),
+            jax.tree_util.tree_leaves_with_path(expected.params)):
+        assert pa == pe
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=2e-4, err_msg=str(pa))
+
+
+def test_accum_steps_divisibility_errors():
+    import pytest
+
+    from e3diff_tpu.training.optim import accumulated_value_and_grad
+
+    with pytest.raises(ValueError, match="not divisible"):
+        accumulated_value_and_grad(
+            lambda p, b, r: (jnp.sum(p * b.sum()), jnp.zeros(())),
+            jnp.ones(3), jnp.ones((7, 2)), jax.random.PRNGKey(0), 2)
+
+
+def test_sequence_accum_training_reduces_loss():
+    """The sequence trainer's accum path trains end-to-end (dict aux
+    metrics accumulate through the scan)."""
+    data = _data()
+    batch = {k: v for k, v in data.items()
+             if k not in ("num_valid", "structure_ids")}
+    model = SequenceDenoiser(_tiny_cfg(False, "xavier_all"),
+                             _tiny_cfg(True, "xavier_all"))
+    d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=50)
+    trainer = SequenceTrainer(
+        model, d3pm,
+        make_optimizer(None, base_lr=2e-3, max_epochs=10, steps_per_epoch=5),
+        accum_steps=4)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(30):
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = trainer.train_step(state, dict(jbatch), step_rng)
+        losses.append(float(metrics["train_loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["train_aa_recovery_rate"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_mu_dtype_bf16_state_and_training():
+    """mu_dtype='bf16' stores the AdamW first moment in bfloat16 (second
+    moment stays f32) and still trains; 'f32' keeps everything f32."""
+    batch = {k: v for k, v in _data().items()
+             if k not in ("num_valid", "structure_ids")}
+    model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
+    diff = GaussianAngleDiffusion.cosine(100)
+
+    def mu_nu_dtypes(state):
+        adam = state.opt_state[1][0]  # chain(clip, adamw) -> adamw ScaleByAdam
+        mu = {str(x.dtype) for x in jax.tree.leaves(adam.mu)}
+        nu = {str(x.dtype) for x in jax.tree.leaves(adam.nu)}
+        return mu, nu
+
+    tr32 = StructureTrainer(model, diff, make_optimizer(
+        None, base_lr=1e-3, max_epochs=4, steps_per_epoch=1, mu_dtype="f32"))
+    mu, nu = mu_nu_dtypes(tr32.create_state(jax.random.PRNGKey(0), batch))
+    assert mu == {"float32"} and nu == {"float32"}
+
+    tr16 = StructureTrainer(model, diff, make_optimizer(
+        None, base_lr=2e-3, max_epochs=10, steps_per_epoch=5,
+        mu_dtype="bf16"))
+    state = tr16.create_state(jax.random.PRNGKey(0), batch)
+    mu, nu = mu_nu_dtypes(state)
+    assert mu == {"bfloat16"} and nu == {"float32"}
+
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(20):
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = tr16.train_step(state, dict(jbatch), step_rng)
+        losses.append(float(metrics["train_loss"]))
+        assert np.isfinite(losses[-1])
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    mu, nu = mu_nu_dtypes(state)   # dtype survives the update
+    assert mu == {"bfloat16"} and nu == {"float32"}
+
+    import pytest
+    with pytest.raises(ValueError, match="mu_dtype"):
+        make_optimizer(None, mu_dtype="fp8")
