@@ -10,48 +10,134 @@ state_dict save (structure_model/train_model.py:77-83,150). Here:
 * ``BestTracker`` reproduces the monitor-based single-best slot, with
   ``mode`` defaulting to the reference-faithful "max";
 * ``save_final`` mirrors the reference's final raw weights save.
+
+Snapshot saves: orbax's async commit backgrounds only the host->storage
+write — the device->host transfer runs in save()'s BLOCKING section
+(measured: 81 s stall for 512 MB through this environment's remote-TPU
+tunnel; the 146M full train state is ~2.3 GB ≈ 3-7 min). The snapshot
+path instead (1) copies the state's arrays device-side (HBM-to-HBM,
+milliseconds, async-dispatched), (2) returns immediately, and (3) pulls
+the copies to host and hands them to orbax in a background thread while
+training keeps stepping — the same compute/transfer overlap the sampler
+uses for trajectory delivery (BENCHMARKS.md). Training's buffer donation
+is safe: the copies are distinct buffers the next train_step never sees.
+One snapshot is in flight at a time (a new save joins the previous one —
+free at any sane ckpt_every cadence); multi-process runs fall back to
+orbax's native distributed path. Disable with E3DIFF_SNAPSHOT_SAVES=0.
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Any
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
+def _snapshot_enabled() -> bool:
+    return os.environ.get("E3DIFF_SNAPSHOT_SAVES", "1") != "0"
+
+
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, snapshot_saves: bool | None = None):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self.snapshot_saves = (_snapshot_enabled() if snapshot_saves is None
+                               else snapshot_saves)
+        # snapshot-save worker: saves queue up (e.g. best_val_model and
+        # 'last' in the same epoch) and drain in order on ONE background
+        # thread, so the main thread never blocks on a prior transfer
+        self._lock = threading.Lock()
+        self._queue: queue.Queue = queue.Queue()
+        self._worker: threading.Thread | None = None
+        self._snap_error: BaseException | None = None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    # -- snapshot machinery ----------------------------------------------
+    def _drain(self):
+        while True:
+            with self._lock:
+                if self._queue.empty():
+                    self._worker = None   # under the lock: no enqueue race
+                    return
+                path, snap, force = self._queue.get_nowait()
+            try:
+                host = jax.device_get(snap)   # minutes on slow links —
+                self._ckptr.save(path, host, force=force)  # off-thread
+            except BaseException as e:   # surfaced on the next join
+                self._snap_error = e
+
+    def _enqueue_snapshot(self, path: str, state: Any, force: bool):
+        # device-side copies: milliseconds of HBM traffic, dispatched
+        # async; ints/floats/None in the tree pass through untouched
+        snap = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+        with self._lock:
+            self._queue.put((path, snap, force))
+            if self._worker is None:
+                self._worker = threading.Thread(
+                    target=self._drain, name="ckpt-snapshot", daemon=False)
+                self._worker.start()
+
+    def _join_snapshots(self):
+        while True:
+            with self._lock:
+                t = self._worker
+            if t is None:
+                break
+            t.join()
+        if self._snap_error is not None:
+            err, self._snap_error = self._snap_error, None
+            raise RuntimeError("background checkpoint save failed") from err
+
+    def _snapshot_applicable(self) -> bool:
+        # multi-process states hold non-addressable shards — orbax's own
+        # distributed save path is the correct (and collective) one there
+        return self.snapshot_saves and jax.process_count() == 1
+
+    # -- public API --------------------------------------------------------
     def save(self, name: str, state: Any, force: bool = True,
              block: bool = False):
-        """Asynchronous by default: orbax's StandardCheckpointer commits
-        the host->storage write in background threads (it waits for any
-        previous in-flight save itself). NOTE the device->host transfer
-        runs in save()'s BLOCKING section (measured: an 81 s stall for
-        512 MB through this environment's remote-TPU tunnel), so on
-        slow-interconnect hosts the real save-cost lever is the
-        `ckpt_every` cadence, not the async commit; on local hosts
-        (PCIe D2H) the backgrounded disk write is the dominant part and
-        overlap is genuine."""
+        """Non-blocking by default. On single-process runs the state is
+        snapshot-copied on device and pulled to host by a background
+        worker (see module docstring); otherwise orbax's async commit
+        still backgrounds the storage write (but not the D2H pull). A
+        failed background save raises on the NEXT blocking call
+        (save(block=True)/restore/exists/close) — never silently."""
+        if not block and self._snapshot_applicable():
+            try:
+                self._enqueue_snapshot(self._path(name), state, force)
+                return
+            except Exception as e:
+                print(f"snapshot save failed ({type(e).__name__}: {e}); "
+                      "falling back to direct save")
+        self._join_snapshots()   # keep ordering vs queued snapshots
         self._ckptr.save(self._path(name), state, force=force)
         if block:
             self._ckptr.wait_until_finished()
 
     def restore(self, name: str, abstract_state: Any):
+        self._join_snapshots()
         return self._ckptr.restore(self._path(name), abstract_state)
 
     def exists(self, name: str) -> bool:
-        # orbax waits internally on save/restore/close but not here: an
-        # in-flight save lands in a .tmp dir, so probe after it commits
+        # an in-flight save lands in a .tmp dir, so probe only after the
+        # snapshot worker hands off AND orbax commits
+        self._join_snapshots()
         self._ckptr.wait_until_finished()
         return os.path.isdir(self._path(name))
+
+    def wait_until_finished(self):
+        """Join the snapshot worker and orbax's commit threads."""
+        self._join_snapshots()
+        self._ckptr.wait_until_finished()
 
     def save_final(self, params: Any):
         """The reference's end-of-training raw weights save (blocking —
@@ -59,6 +145,7 @@ class CheckpointManager:
         self.save("final", {"params": params}, block=True)
 
     def close(self):
+        self._join_snapshots()
         self._ckptr.close()  # waits for in-flight commits itself
 
 

@@ -197,3 +197,72 @@ def test_zero_batch_epoch_fails_loudly(tmp_path):
                    lambda *_: iter([]), None, jax.random.PRNGKey(0),
                    max_epochs=1, ckpt_dir=str(tmp_path / "r"),
                    log_fn=lambda *_: None)
+
+
+def test_snapshot_save_isolates_later_mutation(tmp_path):
+    """The snapshot path copies arrays ON DEVICE before save() returns:
+    what lands on disk is the state at save time, even when training
+    donates/overwrites the buffers immediately afterwards."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr._snapshot_applicable()
+    x = jnp.arange(8, dtype=jnp.float32)
+    tree = {"state": {"x": x}, "epoch": 2}
+    mgr.save("last", tree)
+    # overwrite the source array while the background pull may be running
+    tree["state"]["x"] = x + 100.0
+    del x
+    assert mgr.exists("last")   # joins the worker + orbax commit
+    restored = mgr.restore(
+        "last", {"state": {"x": jnp.zeros(8, jnp.float32)}, "epoch": 0})
+    np.testing.assert_array_equal(np.asarray(restored["state"]["x"]),
+                                  np.arange(8, dtype=np.float32))
+    assert int(restored["epoch"]) == 2
+    mgr.close()
+
+
+def test_snapshot_saves_queue_in_order(tmp_path):
+    """Back-to-back saves (best_val_model + 'last' in one epoch) drain on
+    one worker; the last write to a slot wins."""
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    for i in range(3):
+        mgr.save("last", {"v": jnp.full((4,), float(i)), "epoch": i})
+        mgr.save("best", {"v": jnp.full((4,), float(10 + i))})
+    assert mgr.exists("last") and mgr.exists("best")
+    r = mgr.restore("last", {"v": jnp.zeros(4), "epoch": 0})
+    np.testing.assert_array_equal(np.asarray(r["v"]), np.full(4, 2.0))
+    assert int(r["epoch"]) == 2
+    r = mgr.restore("best", {"v": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(r["v"]), np.full(4, 12.0))
+    mgr.close()
+
+
+def test_snapshot_save_error_surfaces(tmp_path):
+    """A failure in the background pull/save raises on the next blocking
+    call instead of vanishing."""
+    import pytest
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+
+    class Boom(Exception):
+        pass
+
+    def bad_save(*a, **k):
+        raise Boom("disk on fire")
+
+    mgr._ckptr.save = bad_save
+    mgr.save("last", {"v": jnp.zeros(4)})
+    with pytest.raises(RuntimeError, match="background checkpoint save"):
+        mgr.wait_until_finished()
+    mgr._ckptr = __import__("orbax.checkpoint", fromlist=["x"]).StandardCheckpointer()
+    mgr.close()
+
+
+def test_snapshot_disabled_env(tmp_path, monkeypatch):
+    """E3DIFF_SNAPSHOT_SAVES=0 falls back to the direct orbax path."""
+    monkeypatch.setenv("E3DIFF_SNAPSHOT_SAVES", "0")
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert not mgr._snapshot_applicable()
+    mgr.save("last", {"v": jnp.ones(4)})
+    assert mgr._worker is None   # nothing queued
+    assert mgr.exists("last")
+    mgr.close()
