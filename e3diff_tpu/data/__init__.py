@@ -7,6 +7,7 @@ from e3diff_tpu.data.dataset import (
     pocket_extend_mask,
     split_complexes,
 )
+from e3diff_tpu.data.prefetch import prefetch_to_device
 from e3diff_tpu.data.synthetic import synthetic_complexes
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "LigandBindingSiteData",
     "load_complexes",
     "pocket_extend_mask",
+    "prefetch_to_device",
     "split_complexes",
     "synthetic_complexes",
 ]

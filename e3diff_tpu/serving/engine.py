@@ -109,7 +109,8 @@ class DesignEngine:
                  sequence_d3pm, *, batch_size: int = 64,
                  sampler: str = "ddim", ddim_steps: int = 25,
                  ddim_eta: float = 1.0, step: int = 1,
-                 seq_skip_steps: int | None = None, diverse: bool = True):
+                 seq_skip_steps: int | None = None, diverse: bool = True,
+                 mesh=None):
         from e3diff_tpu.sampling.sequence import make_sequence_sampler
         from e3diff_tpu.sampling.structure import make_structure_sampler
 
@@ -121,6 +122,22 @@ class DesignEngine:
         self.sequence_params = sequence_params
         self.structure_diffusion = structure_diffusion
         self.sequence_d3pm = sequence_d3pm
+        # multi-chip serving: replicate/tp-shard the params over the mesh
+        # and dp-shard each request batch — the sampler jits run sharded
+        # unchanged (parity pinned in tests/test_parallel.py)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from e3diff_tpu.parallel import batch_sharding, shard_params
+
+            dp = mesh.shape.get("dp", 1)
+            if batch_size % dp:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the "
+                    f"mesh's dp extent {dp} (fixed serving shapes)")
+            self.structure_params = shard_params(structure_params, mesh)
+            self.sequence_params = shard_params(sequence_params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
         self._struct_run = make_structure_sampler(
             structure_model, structure_diffusion, step=step,
             return_trajectory=False, sampler=sampler,
@@ -269,10 +286,7 @@ class DesignEngine:
             batch = self._stack_slots(chunk, feat_keys)
 
             key, k_struct, k_seq = jax.random.split(key, 3)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k in ("ligand_angles", "ligand_attn_mask",
-                               "ligand_seq", "receptor_angles",
-                               "receptor_attn_mask", "receptor_seq")}
+            jbatch = self._to_device(batch)
             with self._device_lock:
                 angles_final, _ = self._struct_run(
                     self.structure_params, jbatch, k_struct)
@@ -308,6 +322,21 @@ class DesignEngine:
                                             pdb=pdb,
                                             recovery_rate=recovery))
         return results
+
+    _DEVICE_KEYS = ("ligand_angles", "ligand_attn_mask", "ligand_seq",
+                    "receptor_angles", "receptor_attn_mask", "receptor_seq")
+
+    def _to_device(self, batch: dict) -> dict:
+        """Select the sampler inputs and place them — dp-sharded over the
+        mesh when serving multi-chip, plain device arrays otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        sel = {k: v for k, v in batch.items() if k in self._DEVICE_KEYS}
+        if self._batch_sharding is not None:
+            return {k: jax.device_put(np.asarray(v), self._batch_sharding)
+                    for k, v in sel.items()}
+        return {k: jnp.asarray(v) for k, v in sel.items()}
 
     def _stack_slots(self, chunk, feat_keys) -> dict:
         """Stack per-slot features into one fixed (batch_size, ...) batch
@@ -345,10 +374,7 @@ class DesignEngine:
             n_valid = len(chunk)
             batch = self._stack_slots(chunk, feat_keys)
             key, k_seq = jax.random.split(key)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k in ("ligand_angles", "ligand_attn_mask",
-                               "ligand_seq", "receptor_angles",
-                               "receptor_attn_mask", "receptor_seq")}
+            jbatch = self._to_device(batch)
             with self._device_lock:
                 logits = self._seq_run(self.sequence_params, jbatch, k_seq)
                 pred = np.asarray(logits).argmax(-1)

@@ -17,6 +17,7 @@ from typing import Any, Callable, Iterable
 import jax
 import numpy as np
 
+from e3diff_tpu.data.prefetch import prefetch_to_device
 from e3diff_tpu.training.checkpoint import BestTracker, CheckpointManager
 
 
@@ -89,6 +90,9 @@ def train_loop(
     log_fn: Callable[[str], None] = print,
     profile_dir: str | None = None,
     resume: bool = True,
+    prefetch: int = 2,               # batches staged ahead on a background
+                                     # thread (assembly + H2D overlap the
+                                     # device step); 0 disables
 ) -> tuple[Any, list[dict]]:
     """Runs the full training schedule; returns (state, epoch_history)."""
     manager = best = None
@@ -125,7 +129,10 @@ def train_loop(
         epoch_metrics = []
         t_epoch = time.perf_counter()
         t_first_done = None
-        for i, batch in enumerate(train_batches(epoch)):
+        batches = train_batches(epoch)
+        if prefetch:
+            batches = prefetch_to_device(batches, size=prefetch)
+        for i, batch in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
             state, metrics = trainer.train_step(state, _clean(batch), step_rng)
             if i == 0:
@@ -160,7 +167,10 @@ def train_loop(
         val_means = {}
         if val_batches is not None:
             val_metrics = []
-            for batch in val_batches():
+            vbatches = val_batches()
+            if prefetch:
+                vbatches = prefetch_to_device(vbatches, size=prefetch)
+            for batch in vbatches:
                 rng, val_rng = jax.random.split(rng)
                 val_metrics.append(
                     trainer.eval_step(state, _clean(batch), val_rng))

@@ -186,6 +186,58 @@ def run_ckpt_overlap_exp(name, *, b=64, l=64, steps=30):
                committed=ok)
 
 
+def run_prefetch_exp(name, *, b=64, l=64, n=512, epochs=3):
+    """Real-input-pipeline throughput: per-step wall time when batches are
+    assembled + H2D-transferred inline (prefetch=0) vs staged ahead on the
+    background thread (prefetch=2). The synthetic benchmark steps reuse a
+    pre-staged device batch, so this is the number an actual training run
+    sees (BENCHMARKS.md: real epochs ran ~4x slower than the benchmark
+    step through this tunnel)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from e3diff_tpu.data import (LigandBindingSiteData, prefetch_to_device,
+                                 synthetic_complexes)
+    from e3diff_tpu.data.dataset import strip_meta
+    from e3diff_tpu.diffusion import GaussianAngleDiffusion
+    from e3diff_tpu.models import StructureDenoiser
+    from e3diff_tpu.training import StructureTrainer, make_optimizer
+
+    enc, dec = _full_cfgs(l)
+    model = StructureDenoiser(enc, dec)
+    trainer = StructureTrainer(
+        model, GaussianAngleDiffusion.cosine(1000),
+        make_optimizer(None, max_epochs=10, steps_per_epoch=100))
+    if os.environ.get("E3DIFF_EXP_TINY") == "1":
+        n, b = 32, 8
+    ds = LigandBindingSiteData(
+        synthetic_complexes(n=n, seed=1), None, max_len=l, pocket_ext=1)
+    first = next(ds.batches(b))
+    state = trainer.create_state(jax.random.PRNGKey(0), strip_meta(first))
+    rng = jax.random.PRNGKey(1)
+    state, m = trainer.train_step(state, strip_meta(first), rng)
+    float(m["train_loss"])  # compile + sync
+
+    out = {}
+    for mode in (0, 2):
+        t0 = time.perf_counter()
+        steps = 0
+        for epoch in range(epochs):
+            batches = ds.batches(b, shuffle=True, seed=epoch,
+                                 drop_last=True)
+            if mode:
+                batches = prefetch_to_device(batches, size=mode)
+            for batch in batches:
+                rng, step_rng = jax.random.split(rng)
+                state, m = trainer.train_step(
+                    state, strip_meta(batch), step_rng)
+                steps += 1
+        float(m["train_loss"])  # hard sync
+        out[f"step_ms_prefetch{mode}"] = round(
+            (time.perf_counter() - t0) / steps * 1000, 2)
+    log_result(name, b=b, l=l, n=n, steps_per_epoch=n // b, **out)
+
+
 EXPS = {
     # r2 baselines for side-by-side context: b64 95.9 ms, b128 158.1 ms,
     # b256 single-shot OOM (experiments/r2_results.jsonl)
@@ -204,6 +256,7 @@ EXPS = {
     "train_b64_accum2": lambda: run_train_exp("train_b64_accum2", b=64,
                                               accum=2),
     "ckpt_overlap": lambda: run_ckpt_overlap_exp("ckpt_overlap"),
+    "input_prefetch": lambda: run_prefetch_exp("input_prefetch"),
 }
 
 

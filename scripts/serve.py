@@ -47,6 +47,12 @@ def main():
     parser.add_argument("--max_wait_ms", type=float, default=25.0,
                         help="micro-batching window after the first "
                              "request of a batch")
+    parser.add_argument("--dp", type=int, default=None,
+                        help="serve over a device mesh: data-parallel "
+                             "extent (default: all devices when >1 are "
+                             "visible; batches dp-shard, params replicate)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel extent of the serving mesh")
     args = parser.parse_args()
 
     from e3diff_tpu.serving import DesignEngine, DesignServer
@@ -55,12 +61,21 @@ def main():
     )
 
     enable_persistent_compilation_cache()
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1 or args.dp or args.tp > 1:
+        from e3diff_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        print(f"serving mesh: {dict(mesh.shape)}")
     print("loading checkpoints ...")
     engine = DesignEngine.from_checkpoints(
         args.structure_ckpt, args.sequence_ckpt,
         batch_size=args.serve_batch_size, sampler=args.sampler,
         ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
-        seq_skip_steps=args.seq_skip_steps, transition=args.transition)
+        seq_skip_steps=args.seq_skip_steps, transition=args.transition,
+        mesh=mesh)
     print("compiling samplers (warmup) ...")
     engine.warmup()
     server = DesignServer(engine, host=args.host, port=args.port,

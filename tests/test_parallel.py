@@ -471,3 +471,40 @@ def test_initialize_multihost_env_driven(monkeypatch):
         calls.clear()
         initialize_multihost()
         assert calls == []
+
+
+def test_dp_accum_train_step_matches_single_device():
+    """accum_steps under a dp-sharded batch: the interleaved microbatch
+    split keeps every microbatch spread over the dp axis, and the result
+    equals the unsharded accum step (same rng)."""
+    mesh = make_mesh(dp=4, tp=2)
+    model = StructureDenoiser(_cfg(False), _cfg(True))
+    diff = GaussianAngleDiffusion.cosine(50)
+    batch = _batch()
+
+    rng = jax.random.PRNGKey(17)
+    params = model.init(rng, jnp.zeros((8,), jnp.int32),
+                        *[jnp.asarray(batch[k]) for k in
+                          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+                           "receptor_angles", "receptor_attn_mask"]])["params"]
+    trainer = StructureTrainer(
+        model, diff, make_optimizer(params, base_lr=1e-3,
+                                    max_epochs=10, steps_per_epoch=5),
+        accum_steps=2)
+
+    state1 = trainer.create_state(rng, batch)
+    state1 = state1.replace(params=jax.tree.map(jnp.copy, params))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state1, metrics1 = trainer.train_step(state1, dict(jbatch), rng)
+
+    state2 = trainer.create_state(rng, batch)
+    state2 = state2.replace(params=shard_params(params, mesh))
+    sbatch = shard_batch(batch, mesh)
+    state2, metrics2 = trainer.train_step(state2, sbatch, rng)
+
+    np.testing.assert_allclose(float(metrics1["train_loss"]),
+                               float(metrics2["train_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
