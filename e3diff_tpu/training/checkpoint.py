@@ -21,13 +21,16 @@ the copies to host and hands them to orbax in a background thread while
 training keeps stepping — the same compute/transfer overlap the sampler
 uses for trajectory delivery (BENCHMARKS.md). Training's buffer donation
 is safe: the copies are distinct buffers the next train_step never sees.
-One snapshot is in flight at a time (a new save joins the previous one —
-free at any sane ckpt_every cadence); multi-process runs fall back to
-orbax's native distributed path. Disable with E3DIFF_SNAPSHOT_SAVES=0.
+At most two snapshots are alive at once (one draining + one queued, each
+a state-sized HBM copy); a third save blocks until a slot frees — the
+old blocking save's backpressure, bounded instead of total. Multi-process
+runs fall back to orbax's native distributed path. Disable with
+E3DIFF_SNAPSHOT_SAVES=0.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import queue
 import threading
@@ -51,11 +54,19 @@ class CheckpointManager:
                                else snapshot_saves)
         # snapshot-save worker: saves queue up (e.g. best_val_model and
         # 'last' in the same epoch) and drain in order on ONE background
-        # thread, so the main thread never blocks on a prior transfer
+        # thread, so the main thread never blocks on a prior transfer.
+        # At most TWO snapshots are alive at once (one draining + one
+        # queued) — each is a full state-sized HBM copy, so an unbounded
+        # queue could OOM the device when saves outpace the link; the
+        # semaphore restores the old blocking save's backpressure beyond
+        # that bound.
         self._lock = threading.Lock()
         self._queue: queue.Queue = queue.Queue()
+        self._slots = threading.BoundedSemaphore(2)
         self._worker: threading.Thread | None = None
         self._snap_error: BaseException | None = None
+        self._snap_failures = 0
+        atexit.register(self._drain_at_exit)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -71,31 +82,65 @@ class CheckpointManager:
             try:
                 host = jax.device_get(snap)   # minutes on slow links —
                 self._ckptr.save(path, host, force=force)  # off-thread
-            except BaseException as e:   # surfaced on the next join
-                self._snap_error = e
+            except BaseException as e:
+                # keep the FIRST cause; count the rest
+                self._snap_failures += 1
+                if self._snap_error is None:
+                    self._snap_error = e
+                print(f"background checkpoint save of {path} FAILED "
+                      f"({type(e).__name__}: {e}) — will re-raise on "
+                      "close()/wait_until_finished()")
+            finally:
+                self._slots.release()
 
     def _enqueue_snapshot(self, path: str, state: Any, force: bool):
-        # device-side copies: milliseconds of HBM traffic, dispatched
-        # async; ints/floats/None in the tree pass through untouched
-        snap = jax.tree.map(
-            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
-        with self._lock:
-            self._queue.put((path, snap, force))
-            if self._worker is None:
-                self._worker = threading.Thread(
-                    target=self._drain, name="ckpt-snapshot", daemon=False)
-                self._worker.start()
+        # backpressure: blocks while 2 snapshots are already alive
+        self._slots.acquire()
+        try:
+            # device-side copies: milliseconds of HBM traffic, dispatched
+            # async; ints/floats/None in the tree pass through untouched
+            snap = jax.tree.map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                state)
+            with self._lock:
+                self._queue.put((path, snap, force))
+                if self._worker is None:
+                    # daemon + the atexit drain below: a Ctrl-C'd run
+                    # prints WHY it is still alive instead of hanging
+                    # silently on a multi-GB pull at interpreter exit
+                    self._worker = threading.Thread(
+                        target=self._drain, name="ckpt-snapshot",
+                        daemon=True)
+                    self._worker.start()
+        except BaseException:
+            self._slots.release()
+            raise
 
-    def _join_snapshots(self):
+    def _join_snapshots(self, raise_on_error: bool = True):
         while True:
             with self._lock:
                 t = self._worker
             if t is None:
                 break
             t.join()
-        if self._snap_error is not None:
+        if self._snap_error is not None and raise_on_error:
             err, self._snap_error = self._snap_error, None
-            raise RuntimeError("background checkpoint save failed") from err
+            n, self._snap_failures = self._snap_failures, 0
+            raise RuntimeError(
+                f"{n} background checkpoint save(s) failed (first cause "
+                "attached)") from err
+
+    def _drain_at_exit(self):
+        with self._lock:
+            busy = self._worker is not None
+        if busy:
+            print("waiting for an in-flight background checkpoint save "
+                  "before exit (device->host transfer; this can take "
+                  "minutes on slow links) ...")
+        try:
+            self._join_snapshots(raise_on_error=False)
+        except Exception:
+            pass
 
     def _snapshot_applicable(self) -> bool:
         # multi-process states hold non-addressable shards — orbax's own
@@ -108,9 +153,13 @@ class CheckpointManager:
         """Non-blocking by default. On single-process runs the state is
         snapshot-copied on device and pulled to host by a background
         worker (see module docstring); otherwise orbax's async commit
-        still backgrounds the storage write (but not the D2H pull). A
-        failed background save raises on the NEXT blocking call
-        (save(block=True)/restore/exists/close) — never silently."""
+        still backgrounds the storage write (but not the D2H pull).
+
+        Failure policy: a failed background save warns immediately (from
+        the worker) and raises from close()/wait_until_finished() — but
+        NOT from later save/restore/exists calls, so one transient
+        mid-run failure cannot poison the end-of-run final/final_ema
+        writes of an otherwise healthy run."""
         if not block and self._snapshot_applicable():
             try:
                 self._enqueue_snapshot(self._path(name), state, force)
@@ -118,24 +167,25 @@ class CheckpointManager:
             except Exception as e:
                 print(f"snapshot save failed ({type(e).__name__}: {e}); "
                       "falling back to direct save")
-        self._join_snapshots()   # keep ordering vs queued snapshots
+        self._join_snapshots(raise_on_error=False)  # ordering vs queue
         self._ckptr.save(self._path(name), state, force=force)
         if block:
             self._ckptr.wait_until_finished()
 
     def restore(self, name: str, abstract_state: Any):
-        self._join_snapshots()
+        self._join_snapshots(raise_on_error=False)
         return self._ckptr.restore(self._path(name), abstract_state)
 
     def exists(self, name: str) -> bool:
         # an in-flight save lands in a .tmp dir, so probe only after the
         # snapshot worker hands off AND orbax commits
-        self._join_snapshots()
+        self._join_snapshots(raise_on_error=False)
         self._ckptr.wait_until_finished()
         return os.path.isdir(self._path(name))
 
     def wait_until_finished(self):
-        """Join the snapshot worker and orbax's commit threads."""
+        """Join the snapshot worker and orbax's commit threads; raises if
+        any background save failed since the last raise."""
         self._join_snapshots()
         self._ckptr.wait_until_finished()
 
@@ -145,7 +195,8 @@ class CheckpointManager:
         self.save("final", {"params": params}, block=True)
 
     def close(self):
-        self._join_snapshots()
+        atexit.unregister(self._drain_at_exit)
+        self._join_snapshots()   # raises if any background save failed
         self._ckptr.close()  # waits for in-flight commits itself
 
 

@@ -35,16 +35,21 @@ def probe(n_mm: int = 10, n_rtt: int = 5) -> dict:
         float(jnp.sum(y))  # hard sync per call
     rtt_ms = (time.perf_counter() - t0) / n_rtt * 1000
 
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
-    g = jax.jit(lambda m: m @ m)
+    # scale so chained products stay finite in bf16 (ones would hit inf
+    # after 4 matmuls: entries grow as 4096^(2^k-1)); 4096 * (1/64)^2 = 1
+    # keeps every chained product exactly all-ones
+    a = jnp.full((4096, 4096), 1.0 / 64.0, jnp.bfloat16)
+    g = jax.jit(lambda m: (m @ m) * (1.0 / 64.0))
     b = g(a)
     float(jnp.sum(b.astype(jnp.float32)))  # compile + sync
     t0 = time.perf_counter()
     b = g(a)
     for _ in range(n_mm - 1):
-        b = g(b)
-    float(jnp.sum(b.astype(jnp.float32)))
+        b = g(b)   # dependent chain: no dispatch pipelining illusions
+    checksum = float(jnp.sum(b.astype(jnp.float32)))
     dt = time.perf_counter() - t0
+    import math
+    assert math.isfinite(checksum), f"probe checksum not finite: {checksum}"
     tflops = n_mm * 2 * 4096 ** 3 / dt / 1e12
     return {"tflops": round(tflops, 1), "rtt_ms": round(rtt_ms, 1),
             "platform": jax.devices()[0].platform}

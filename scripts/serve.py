@@ -50,7 +50,8 @@ def main():
     parser.add_argument("--dp", type=int, default=None,
                         help="serve over a device mesh: data-parallel "
                              "extent (default: all devices when >1 are "
-                             "visible; batches dp-shard, params replicate)")
+                             "visible; batches dp-shard, params replicate; "
+                             "--dp 1 --tp 1 forces single-device)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel extent of the serving mesh")
     args = parser.parse_args()
@@ -64,10 +65,24 @@ def main():
     import jax
 
     mesh = None
-    if len(jax.devices()) > 1 or args.dp or args.tp > 1:
+    devices = jax.devices()
+    if args.dp is not None or args.tp > 1:
+        # explicit extents: mesh over the first dp*tp devices (dp
+        # defaults to the remaining extent); dp=1 tp=1 = single-device
+        dp = args.dp if args.dp is not None else len(devices) // args.tp
+        n = dp * args.tp
+        if n > len(devices):
+            parser.error(f"--dp {dp} x --tp {args.tp} needs {n} devices, "
+                         f"only {len(devices)} visible")
+        if n > 1:
+            from e3diff_tpu.parallel import make_mesh
+
+            mesh = make_mesh(dp=dp, tp=args.tp, devices=devices[:n])
+    elif len(devices) > 1:
         from e3diff_tpu.parallel import make_mesh
 
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        mesh = make_mesh()   # all devices, dp-only
+    if mesh is not None:
         print(f"serving mesh: {dict(mesh.shape)}")
     print("loading checkpoints ...")
     engine = DesignEngine.from_checkpoints(

@@ -266,3 +266,64 @@ def test_snapshot_disabled_env(tmp_path, monkeypatch):
     assert mgr._worker is None   # nothing queued
     assert mgr.exists("last")
     mgr.close()
+
+
+def test_snapshot_failure_does_not_poison_final_save(tmp_path):
+    """A transient background failure must not block later saves: the
+    end-of-run final write succeeds, and close() raises with the first
+    cause afterwards."""
+    import pytest
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    real_save = mgr._ckptr.save
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full (transient)")
+        return real_save(*a, **k)
+
+    mgr._ckptr.save = flaky
+    mgr.save("last", {"v": jnp.zeros(4)})          # background: fails
+    mgr.save_final({"w": jnp.ones(4)})             # must still land
+    assert (tmp_path / "ckpt" / "final").is_dir()
+    with pytest.raises(RuntimeError, match="1 background checkpoint"):
+        mgr.close()
+
+
+def test_snapshot_backpressure_bounds_live_copies(tmp_path):
+    """At most two snapshots are alive; a third save blocks until the
+    worker frees a slot (no unbounded device-copy queue)."""
+    import threading as th
+    import time as _t
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    gate = th.Event()
+    real_save = mgr._ckptr.save
+
+    def slow_save(*a, **k):
+        gate.wait(5.0)
+        return real_save(*a, **k)
+
+    mgr._ckptr.save = slow_save
+    t0 = _t.perf_counter()
+    mgr.save("a", {"v": jnp.zeros(4)})   # slot 1 (draining, blocked on gate)
+    mgr.save("b", {"v": jnp.zeros(4)})   # slot 2 (queued)
+    assert _t.perf_counter() - t0 < 2.0  # neither blocked the caller
+    blocked = {"t": None}
+
+    def third():
+        t1 = _t.perf_counter()
+        mgr.save("c", {"v": jnp.zeros(4)})
+        blocked["t"] = _t.perf_counter() - t1
+
+    th3 = th.Thread(target=third)
+    th3.start()
+    _t.sleep(0.5)
+    assert th3.is_alive()                # backpressure engaged
+    gate.set()
+    th3.join(10.0)
+    assert not th3.is_alive()
+    assert mgr.exists("a") and mgr.exists("b") and mgr.exists("c")
+    mgr.close()

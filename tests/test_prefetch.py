@@ -83,3 +83,28 @@ def test_train_loop_prefetch_is_bit_identical(tmp_path):
         return [(h["train_loss"], h["val_loss"]) for h in history]
 
     assert run(0) == run(2)
+
+
+def test_prefetch_abandoned_generator_stops_producer():
+    """Dropping the generator mid-iteration stops the producer thread
+    (no per-epoch thread/batch leak)."""
+    import threading
+    import time
+
+    produced = []
+
+    def slow_source():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2,), float(i), np.float32)}
+
+    it = prefetch_to_device(slow_source(), size=1)
+    next(it)
+    it.close()   # abandon early
+    time.sleep(0.5)
+    n_after_close = len(produced)
+    time.sleep(0.5)
+    assert len(produced) == n_after_close   # producer stopped
+    assert n_after_close < 100
+    assert not any(t.name == "input-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
