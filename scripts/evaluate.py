@@ -30,6 +30,10 @@ def main():
     parser.add_argument("--sequences", help="sequence results pickle")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_n", type=int, default=32)
+    parser.add_argument("--geometry", action="store_true",
+                        help="also NERF-reconstruct each sample and report "
+                             "3D validity: steric clash fraction, "
+                             "clash-free share, radius of gyration")
     parser.add_argument("--config", default=None,
                         help="run dir (or its config.json) whose data "
                              "fields to adopt, so ground truth is built "
@@ -51,6 +55,7 @@ def main():
     from e3diff_tpu.data import LigandBindingSiteData, synthetic_complexes
     from e3diff_tpu.data.dataset import load_complexes
     from e3diff_tpu.utils.evaluation import (
+        geometry_summary,
         mean_wrapped_angle_error,
         summarize_samples,
     )
@@ -72,6 +77,18 @@ def main():
         for k, v in summary["tv_distance"].items():
             print(f"  {k:10s} {v:.4f}")
         print(f"mean TV distance: {summary['tv_distance_mean']:.4f}")
+        print(f"joint (phi,psi) TV distance: "
+              f"{summary['joint_tv_phi_psi']:.4f}")
+        if args.geometry:
+            for label, sets in (("sampled", sampled),
+                                ("reference", truth[:len(sampled)])):
+                g = geometry_summary(sets)
+                print(f"{label} backbone geometry (NERF-reconstructed): "
+                      f"clash_fraction={g['clash_fraction_mean']:.4f} "
+                      f"clash_free={g['clash_free_structures']:.2%} "
+                      f"Rg={g['rg_mean']:.2f}±{g['rg_std']:.2f} Å "
+                      f"nan={g['n_nan_reconstructions']}"
+                      f"/{g['n_structures']}")
         paired = [(s, t) for s, t in zip(sampled, truth) if len(s) == len(t)]
         if paired:
             errs = np.stack([mean_wrapped_angle_error(t, s)
