@@ -183,6 +183,10 @@ def train_loop(
         history.append(record)
 
         if manager is not None:
+            # time spent BLOCKED on checkpointing (snapshot saves should
+            # make this ~the device-copy time; a large value means the
+            # backpressure bound engaged — raise ckpt_every)
+            t_ckpt = time.perf_counter()
             if val_means and best is not None:
                 # best slot holds params only — it's an inference artifact
                 # loadable by every sample CLI (like 'final')
@@ -193,6 +197,7 @@ def train_loop(
                     "state": state, "epoch": epoch,
                     "best": (float("nan") if best is None
                              or best.best is None else best.best)})
+            record["ckpt_wait_seconds"] = time.perf_counter() - t_ckpt
 
     if manager is not None:
         manager.save_final(state.params)
