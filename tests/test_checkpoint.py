@@ -327,3 +327,47 @@ def test_snapshot_backpressure_bounds_live_copies(tmp_path):
     assert not th3.is_alive()
     assert mgr.exists("a") and mgr.exists("b") and mgr.exists("c")
     mgr.close()
+
+
+def test_cross_topology_resume(tmp_path):
+    """A checkpoint saved from a dp x tp sharded state restores onto a
+    single-device template (and back onto a mesh) with identical values —
+    the elastic-resume path a pod preemption -> single-host debug -> pod
+    restart workflow needs."""
+    from e3diff_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    _, batch, trainer, state = _setup()
+    mesh = make_mesh(dp=4, tp=2)
+    state = state.replace(params=shard_params(state.params, mesh))
+    state, _ = trainer.train_step(state, shard_batch(batch, mesh),
+                                  jax.random.PRNGKey(1))
+    want = jax.tree.map(np.asarray, state.params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save("last", {"state": state, "epoch": 0})
+    assert mgr.exists("last")
+
+    # restore onto an UNSHARDED template (fresh single-device state)
+    _, _, _, fresh = _setup()
+    restored = mgr.restore("last", {"state": fresh, "epoch": 0})
+    got = jax.tree.map(np.asarray, restored["state"].params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        assert pa == pb
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+    # and back onto a DIFFERENT mesh shape (dp=8)
+    mesh2 = make_mesh(dp=8, tp=1)
+    _, _, _, fresh2 = _setup()
+    fresh2 = fresh2.replace(params=shard_params(fresh2.params, mesh2))
+    restored2 = mgr.restore("last", {"state": fresh2, "epoch": 0})
+    got2 = jax.tree.map(np.asarray, restored2["state"].params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got2),
+            jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+    # the restored arrays actually carry the new mesh's shardings
+    leaf = jax.tree.leaves(restored2["state"].params)[0]
+    assert dict(leaf.sharding.mesh.shape) == {"dp": 8, "tp": 1}
+    mgr.close()
