@@ -91,23 +91,27 @@ def main():
 
     run_synced(jax.random.PRNGKey(1))  # compile
 
-    # The v5e behind the tunnel is shared: under foreign load it measures
-    # 20-43 TFLOP/s vs its 175 nominal for hours (BENCHMARKS.md). The
-    # headline is the FRAMEWORK's speed, not the neighbors' — so take
-    # min-of-4 per round, and if the whole round ran on a visibly
-    # degraded chip (cheap matmul probe), wait and retry a few times for
-    # a healthy window before recording. Bounded: worst case adds ~15 min.
-    def matmul_tflops():
+    # The v5e behind the tunnel is shared with other clients IN THIS
+    # CONTAINER: a second live client (stale serve.py, a concurrent
+    # experiment) serializes program execution and inflates step times
+    # ~12x (BENCHMARKS.md). The headline is the FRAMEWORK's speed — so
+    # take min-of-4 per round, and if the round ran while the chip
+    # measured slow (in-program matmul chain ≈ 175 TFLOP/s nominal),
+    # wait and retry a few times. Bounded: worst case adds ~15 min.
+    def matmul_tflops(n_mm=256):
         a = jnp.full((4096, 4096), 1.0 / 64.0, jnp.bfloat16)
-        g = jax.jit(lambda m: (m @ m) * (1.0 / 64.0))
-        out = g(a)
+
+        @jax.jit
+        def chain(m):   # in-program: per-call RTT would cap a call-per-
+            return jax.lax.fori_loop(   # matmul probe at ~30 "TFLOP/s"
+                0, n_mm, lambda _, x: (x @ x) * jnp.bfloat16(1.0 / 64.0), m)
+
+        out = chain(a)
         float(jnp.sum(out.astype(jnp.float32)))  # compile + sync
         t0 = time.perf_counter()
-        out = g(a)
-        for _ in range(9):
-            out = g(out)
+        out = chain(a)
         float(jnp.sum(out.astype(jnp.float32)))
-        return 10 * 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
+        return n_mm * 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12
 
     elapsed = None
     for attempt in range(4):

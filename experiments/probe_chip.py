@@ -1,8 +1,16 @@
 """Chip-health probe: one JSON line with the tunnel RTT and the big-
-matmul bf16 throughput. The shared v5e behind the axon tunnel degrades
-under other tenants' load (measured: 175 TFLOP/s nominal vs 20-43 while
-degraded, which inflates a 95.9 ms train step to 1.2-13 s) — run this
-BEFORE trusting any perf measurement.
+matmul bf16 throughput (matmuls chained INSIDE one jitted fori_loop —
+separate jit calls pay ~4-5 ms per-program tunnel overhead each, which
+caps an out-of-program probe at ~30 "TFLOP/s" no matter how fast the
+chip is; that methodology artifact was once misread as chip
+degradation). Nominal: ~175 TFLOP/s (BENCHMARKS.md chip
+characterization).
+
+A LOW reading means either real foreign load on the shared chip or —
+far more likely — ANOTHER TPU CLIENT IN THIS CONTAINER: a second live
+client (stale serve.py, a concurrent experiment, even this probe run
+against a running measurement) serializes program execution through the
+tunnel and inflates step times ~12x. Check `ps` before timing anything.
 
     python experiments/probe_chip.py          # {"tflops": ..., "rtt_ms": ...}
 """
@@ -17,7 +25,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def probe(n_mm: int = 10, n_rtt: int = 5) -> dict:
+def probe(n_mm: int = 256, n_rtt: int = 5) -> dict:
+    # n_mm=256 matmuls inside the loop ≈ 200 ms of compute at nominal
+    # speed, so the one ~25 ms call round trip undercounts by ~10%, not 3x
     import jax
     import jax.numpy as jnp
 
@@ -37,15 +47,20 @@ def probe(n_mm: int = 10, n_rtt: int = 5) -> dict:
 
     # scale so chained products stay finite in bf16 (ones would hit inf
     # after 4 matmuls: entries grow as 4096^(2^k-1)); 4096 * (1/64)^2 = 1
-    # keeps every chained product exactly all-ones
+    # keeps every chained product at 1/64. The chain runs INSIDE one
+    # program: per-program tunnel overhead (~4-5 ms) would otherwise
+    # dominate the 0.8 ms matmul and cap the reading at ~30.
     a = jnp.full((4096, 4096), 1.0 / 64.0, jnp.bfloat16)
-    g = jax.jit(lambda m: (m @ m) * (1.0 / 64.0))
-    b = g(a)
+
+    @jax.jit
+    def chain(m):
+        return jax.lax.fori_loop(
+            0, n_mm, lambda _, x: (x @ x) * jnp.bfloat16(1.0 / 64.0), m)
+
+    b = chain(a)
     float(jnp.sum(b.astype(jnp.float32)))  # compile + sync
     t0 = time.perf_counter()
-    b = g(a)
-    for _ in range(n_mm - 1):
-        b = g(b)   # dependent chain: no dispatch pipelining illusions
+    b = chain(a)
     checksum = float(jnp.sum(b.astype(jnp.float32)))
     dt = time.perf_counter() - t0
     import math
