@@ -67,8 +67,8 @@ def _train_batch(b, l):
     }
 
 
-def run_train_exp(name, *, b=64, l=64, steps=10, accum=1, mu_dtype="f32",
-                  **cfg_kw):
+def run_train_exp(name, *, b=64, l=64, steps=30, accum=1, mu_dtype="f32",
+                  mask_from="abstract", **cfg_kw):
     import jax
     import jax.numpy as jnp
 
@@ -84,12 +84,13 @@ def run_train_exp(name, *, b=64, l=64, steps=10, accum=1, mu_dtype="f32",
 
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
+    example = (None if mask_from == "none"
+               else StructureTrainer(model, diffusion, None).abstract_params(
+                   rng, batch))
     trainer = StructureTrainer(
         model, diffusion,
-        make_optimizer(
-            StructureTrainer(model, diffusion, None).abstract_params(
-                rng, batch),
-            max_epochs=10, steps_per_epoch=100, mu_dtype=mu_dtype),
+        make_optimizer(example, max_epochs=10, steps_per_epoch=100,
+                       mu_dtype=mu_dtype),
         accum_steps=accum)
     state = trainer.create_state(rng, batch)
     init_s = time.perf_counter() - t0
@@ -98,6 +99,22 @@ def run_train_exp(name, *, b=64, l=64, steps=10, accum=1, mu_dtype="f32",
     state, metrics = trainer.train_step(state, dict(jbatch), rng)
     float(metrics["train_loss"])  # hard sync
     compile_s = time.perf_counter() - t0
+
+    # post-compile transient: the first executions through the tunnel pay
+    # a one-time program-load/allocation cost (measured: 2.7 s on the
+    # first sync + 0.9 s on the next dispatch — at steps=10 that inflated
+    # per-step 10x and was twice misdiagnosed as contention/degradation).
+    # Warm until two consecutive synced steps agree within 20%.
+    prev = None
+    for i in range(10):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(
+            state, dict(jbatch), jax.random.fold_in(rng, 100 + i))
+        float(metrics["train_loss"])
+        cur = time.perf_counter() - t0
+        if prev is not None and abs(cur - prev) / max(cur, prev) < 0.2:
+            break
+        prev = cur
 
     t0 = time.perf_counter()
     for i in range(steps):
@@ -111,6 +128,63 @@ def run_train_exp(name, *, b=64, l=64, steps=10, accum=1, mu_dtype="f32",
                steps_per_s=round(1000 / per_step_ms, 2),
                examples_per_s=round(b * 1000 / per_step_ms, 1),
                loss=round(loss, 4))
+
+
+def run_train_profile(name, *, b=64, l=64, steps=5, accum=1,
+                      mu_dtype="f32", mask_from="abstract"):
+    """Trace `steps` train steps and print the device-time bucket digest:
+    separates a genuinely slow program (device busy) from host/tunnel
+    dispatch stalls. mask_from: 'abstract' (this harness's default),
+    'none' (ckpt_overlap's make_optimizer(None)), 'real' (r2's eager
+    init params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3diff_tpu.diffusion import GaussianAngleDiffusion
+    from e3diff_tpu.models import StructureDenoiser
+    from e3diff_tpu.training import StructureTrainer, make_optimizer
+    from e3diff_tpu.utils.xplane import bucketize, device_op_totals, roofline
+
+    enc, dec = _full_cfgs(l)
+    model = StructureDenoiser(enc, dec)
+    diffusion = GaussianAngleDiffusion.cosine(1000)
+    batch = _train_batch(b, l)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+
+    if mask_from == "none":
+        example = None
+    elif mask_from == "real":
+        example = model.init(
+            rng, jnp.zeros((b,), jnp.int32), jbatch["ligand_angles"],
+            jbatch["ligand_attn_mask"], jbatch["receptor_seq"],
+            jbatch["receptor_angles"], jbatch["receptor_attn_mask"])["params"]
+    else:
+        example = StructureTrainer(model, diffusion, None).abstract_params(
+            rng, batch)
+    trainer = StructureTrainer(
+        model, diffusion,
+        make_optimizer(example, max_epochs=10, steps_per_epoch=100,
+                       mu_dtype=mu_dtype),
+        accum_steps=accum)
+    state = trainer.create_state(rng, batch)
+    state, m = trainer.train_step(state, dict(jbatch), rng)
+    float(m["train_loss"])  # compile + sync
+
+    t0 = time.perf_counter()
+    logdir = f"/tmp/r3_scaling_profile_{name}"
+    with jax.profiler.trace(logdir):
+        for i in range(steps):
+            state, m = trainer.train_step(state, dict(jbatch),
+                                          jax.random.fold_in(rng, i))
+        float(m["train_loss"])
+    wall_ms = (time.perf_counter() - t0) / steps * 1000
+    totals = device_op_totals(logdir)
+    buckets = bucketize(totals, steps=steps)
+    roof = roofline(totals, steps=steps)
+    log_result(name, b=b, l=l, accum=accum, mu_dtype=mu_dtype,
+               mask_from=mask_from, wall_ms_per_step=round(wall_ms, 1),
+               device_buckets_ms=buckets, roofline=roof)
 
 
 def run_ckpt_overlap_exp(name, *, b=64, l=64, steps=30):
@@ -241,6 +315,13 @@ def run_prefetch_exp(name, *, b=64, l=64, n=512, epochs=3):
 EXPS = {
     # r2 baselines for side-by-side context: b64 95.9 ms, b128 158.1 ms,
     # b256 single-shot OOM (experiments/r2_results.jsonl)
+    # control: this harness at the exact r2 train_base config — separates
+    # harness effects from the mu_dtype/accum knobs
+    "train_b64_control": lambda: run_train_exp("train_b64_control", b=64),
+    "train_b64_ctl_none": lambda: run_train_exp("train_b64_ctl_none", b=64,
+                                                mask_from="none"),
+    "train_b64_ctl_steps30": lambda: run_train_exp("train_b64_ctl_steps30",
+                                                   b=64, steps=30),
     "train_b64_mu16": lambda: run_train_exp("train_b64_mu16", b=64,
                                             mu_dtype="bf16"),
     "train_b128_mu16": lambda: run_train_exp("train_b128_mu16", b=128,
@@ -257,6 +338,15 @@ EXPS = {
                                               accum=2),
     "ckpt_overlap": lambda: run_ckpt_overlap_exp("ckpt_overlap"),
     "input_prefetch": lambda: run_prefetch_exp("input_prefetch"),
+    "prof_abstract": lambda: run_train_profile("prof_abstract"),
+    "prof_masknone": lambda: run_train_profile("prof_masknone",
+                                               mask_from="none"),
+    "prof_maskreal": lambda: run_train_profile("prof_maskreal",
+                                               mask_from="real"),
+    "prof_mu16": lambda: run_train_profile("prof_mu16", mu_dtype="bf16",
+                                           mask_from="real"),
+    "prof_accum2": lambda: run_train_profile("prof_accum2", accum=2,
+                                             mask_from="real"),
 }
 
 
@@ -280,6 +370,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", os.environ["E3DIFF_EXP_PLATFORM"])
+    from e3diff_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()   # repeat runs skip 110-530 s
     for n in names:
         try:
             EXPS[n]()
