@@ -326,14 +326,19 @@ EXPS = {
                                             mu_dtype="bf16"),
     "train_b128_mu16": lambda: run_train_exp("train_b128_mu16", b=128,
                                              mu_dtype="bf16"),
+    "train_b128_control": lambda: run_train_exp("train_b128_control", b=128),
     "train_b256_accum2": lambda: run_train_exp("train_b256_accum2", b=256,
                                                accum=2),
     "train_b256_accum4": lambda: run_train_exp("train_b256_accum4", b=256,
                                                accum=4),
     "train_b256_accum4_mu16": lambda: run_train_exp(
         "train_b256_accum4_mu16", b=256, accum=4, mu_dtype="bf16"),
+    "train_b256_accum2_mu16": lambda: run_train_exp(
+        "train_b256_accum2_mu16", b=256, accum=2, mu_dtype="bf16"),
     "train_b512_accum8": lambda: run_train_exp("train_b512_accum8", b=512,
                                                accum=8),
+    "train_b512_accum4": lambda: run_train_exp("train_b512_accum4", b=512,
+                                               accum=4),
     "train_b64_accum2": lambda: run_train_exp("train_b64_accum2", b=64,
                                               accum=2),
     "ckpt_overlap": lambda: run_ckpt_overlap_exp("ckpt_overlap"),
