@@ -57,6 +57,8 @@ def run_pipeline(
     sampler: str = "ddpm",
     ddim_steps: int = 50,
     ddim_eta: float = 1.0,
+    guidance_scale: float = 1.0,
+    sequence_guidance_scale: float = 1.0,
 ) -> dict:
     """Returns the inverse-folding results dict plus the generated angles
     (and PDB paths when pdb_outdir is given)."""
@@ -69,7 +71,8 @@ def run_pipeline(
     sampled = sample_structure_batches(
         structure_params, structure_model, diffusion, batches, key_s,
         step=step, first_batch_only=False, return_trajectory=False,
-        sampler=sampler, ddim_steps=ddim_steps, ddim_eta=ddim_eta)
+        sampler=sampler, ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+        guidance_scale=guidance_scale)
 
     pdb_paths = None
     if pdb_outdir is not None:
@@ -85,7 +88,8 @@ def run_pipeline(
         batches)
     results = sample_sequence_batches(
         sequence_params, sequence_model, d3pm, batches, key_q,
-        diverse=diverse, generated_angles=generated_batches)
+        diverse=diverse, generated_angles=generated_batches,
+        guidance_scale=sequence_guidance_scale)
     results["generated_angles"] = sampled
     results["pdb_paths"] = pdb_paths
     return results

@@ -19,6 +19,7 @@ import numpy as np
 
 from e3diff_tpu.data.dataset import AA_VOCAB, strip_meta
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
+from e3diff_tpu.diffusion.guidance import concat_cond_uncond, guided_combine
 
 
 from e3diff_tpu.utils.jit_cache import JitSamplerCache
@@ -30,13 +31,23 @@ _SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 
 
 def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True,
-                          n_steps: int | None = None):
+                          n_steps: int | None = None,
+                          guidance_scale: float = 1.0):
     """Returns a jitted f(params, batch, key) -> final logits (B, L, K).
-    Cached per (model, d3pm, diverse, n_steps)."""
-    cache_key = (id(model), id(d3pm), diverse, n_steps)
+    Cached per (model, d3pm, diverse, n_steps, guidance_scale).
+
+    guidance_scale != 1 applies classifier-free guidance to the logits
+    (diffusion/guidance.py; meaningful for checkpoints trained with
+    --cond_dropout > 0). The unconditional branch drops the full
+    structural conditioning — pocket fields AND ligand angles — matching
+    the training-time dropout; both branches run as one 2B forward per
+    step. w=1 compiles the plain conditional program."""
+    cache_key = (id(model), id(d3pm), diverse, n_steps,
+                 float(guidance_scale))
     hit = _SAMPLER_CACHE.get(cache_key, model, d3pm)
     if hit is not None:
         return hit
+    guided = guidance_scale != 1.0
 
     @jax.jit
     def run(params, batch, key):
@@ -44,14 +55,24 @@ def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True,
         b, l, k = batch["ligand_seq"].shape
         x_init = d3pm.init_noise(key_init, b, l,
                                  dtype=batch["ligand_seq"].dtype)
+        cond = {f: batch[f] for f in
+                ("ligand_angles", "ligand_attn_mask", "receptor_seq",
+                 "receptor_angles", "receptor_attn_mask")}
+        if guided:
+            cond = concat_cond_uncond(cond, drop_ligand_angles=True)
 
         def denoise_fn(s_arr, x):
-            return model.apply(
+            if guided:
+                s_arr = jnp.concatenate([s_arr, s_arr], axis=0)
+                x = jnp.concatenate([x, x], axis=0)
+            logits = model.apply(
                 {"params": params}, s_arr, x,
-                batch["ligand_angles"], batch["ligand_attn_mask"],
-                batch["receptor_seq"], batch["receptor_angles"],
-                batch["receptor_attn_mask"],
+                cond["ligand_angles"], cond["ligand_attn_mask"],
+                cond["receptor_seq"], cond["receptor_angles"],
+                cond["receptor_attn_mask"],
                 deterministic=True)
+            return (guided_combine(logits, guidance_scale) if guided
+                    else logits)
 
         return d3pm.sample_loop(denoise_fn, key_loop, x_init,
                                 diverse=diverse, n_steps=n_steps)
@@ -74,11 +95,13 @@ def sample_sequence_batches(
     diverse: bool = True,
     n_steps: int | None = None,
     generated_angles: Sequence[np.ndarray] | None = None,
+    guidance_scale: float = 1.0,
 ) -> dict:
     """Returns dict with structure_ids, true_sequence, predict_sequence,
     recovery_rate lists (the reference's pickled DataFrame columns)."""
     sampler = make_sequence_sampler(model, d3pm, diverse=diverse,
-                                    n_steps=n_steps)
+                                    n_steps=n_steps,
+                                    guidance_scale=guidance_scale)
     out = {"structure_ids": [], "true_sequence": [],
            "predict_sequence": [], "recovery_rate": []}
 

@@ -23,6 +23,7 @@ from e3diff_tpu.diffusion.gaussian import (
     GaussianAngleDiffusion,
     sample_wrapped_noise,
 )
+from e3diff_tpu.diffusion.guidance import guided_combine, null_receptor
 
 
 from e3diff_tpu.utils.jit_cache import JitSamplerCache
@@ -36,7 +37,8 @@ _SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
                            step: int = 1, return_trajectory: bool = True,
                            trajectory_dtype=None, sampler: str = "ddpm",
-                           ddim_steps: int = 50, ddim_eta: float = 1.0):
+                           ddim_steps: int = 50, ddim_eta: float = 1.0,
+                           guidance_scale: float = 1.0):
     """Returns a jitted f(params, batch, key) -> (final, trajectory).
     Cached per (model, diffusion, step, flags) so repeated calls reuse the
     compiled program.
@@ -44,14 +46,22 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
     sampler="ddpm" is the reference-faithful ancestral loop (T forwards,
     optionally strided — a lossy skip, see BENCHMARKS.md); "ddim" runs
     the correct accelerated subsequence (ddim_steps forwards, ddim_eta
-    stochasticity) — not in the reference."""
+    stochasticity) — not in the reference.
+
+    guidance_scale != 1 applies classifier-free guidance to the epsilon
+    prediction (diffusion/guidance.py; meaningful for checkpoints trained
+    with --cond_dropout > 0). Both branches run as one 2B-batch forward
+    per step; w=1 compiles the plain conditional program (bit-identical
+    to no-CFG)."""
     if sampler not in ("ddpm", "ddim"):
         raise ValueError(f"unknown sampler {sampler!r}")
     key = (id(model), id(diffusion), step, return_trajectory,
-           str(trajectory_dtype), sampler, ddim_steps, float(ddim_eta))
+           str(trajectory_dtype), sampler, ddim_steps, float(ddim_eta),
+           float(guidance_scale))
     hit = _SAMPLER_CACHE.get(key, model, diffusion)
     if hit is not None:
         return hit
+    guided = guidance_scale != 1.0
 
     @jax.jit
     def run(params, batch, key):
@@ -62,17 +72,29 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
 
         # the pocket encoding is timestep-independent: compute ONCE, not
         # once per diffusion step (the reference re-encodes every step)
+        rec_seq, rec_ang = batch["receptor_seq"], batch["receptor_angles"]
+        rec_mask, lig_mask = (batch["receptor_attn_mask"],
+                              batch["ligand_attn_mask"])
+        if guided:
+            # conditional half ‖ null half — one 2B encode, one 2B
+            # decode per step (same FLOPs as two B-sized forwards)
+            nseq, nang, nmask = null_receptor(rec_seq, rec_ang, rec_mask)
+            rec_seq = jnp.concatenate([rec_seq, nseq], axis=0)
+            rec_ang = jnp.concatenate([rec_ang, nang], axis=0)
+            rec_mask = jnp.concatenate([rec_mask, nmask], axis=0)
+            lig_mask = jnp.concatenate([lig_mask, lig_mask], axis=0)
         enc_out = model.apply(
-            {"params": params}, batch["receptor_seq"],
-            batch["receptor_angles"], batch["receptor_attn_mask"],
+            {"params": params}, rec_seq, rec_ang, rec_mask,
             deterministic=True, method=model.encode_receptor)
 
         def denoise_fn(t_vec, x):
-            return model.apply(
-                {"params": params}, t_vec, x,
-                batch["ligand_attn_mask"], enc_out,
-                batch["receptor_attn_mask"],
-                deterministic=True, method=model.decode)
+            if guided:
+                t_vec = jnp.concatenate([t_vec, t_vec], axis=0)
+                x = jnp.concatenate([x, x], axis=0)
+            pred = model.apply(
+                {"params": params}, t_vec, x, lig_mask, enc_out,
+                rec_mask, deterministic=True, method=model.decode)
+            return guided_combine(pred, guidance_scale) if guided else pred
 
         if sampler == "ddim":
             return diffusion.sample_loop_ddim(
@@ -102,6 +124,7 @@ def sample_structure_batches(
     sampler: str = "ddpm",
     ddim_steps: int = 50,
     ddim_eta: float = 1.0,
+    guidance_scale: float = 1.0,
 ) -> list[np.ndarray]:
     """Returns a list of per-sample arrays shaped (T, len_i, 8) (trajectory)
     or (len_i, 8) (final only), matching the reference output.pkl layout.
@@ -117,7 +140,8 @@ def sample_structure_batches(
                                  return_trajectory=return_trajectory,
                                  trajectory_dtype=trajectory_dtype,
                                  sampler=sampler, ddim_steps=ddim_steps,
-                                 ddim_eta=ddim_eta)
+                                 ddim_eta=ddim_eta,
+                                 guidance_scale=guidance_scale)
 
     def materialize(pending):
         final, traj, lengths, num_valid = pending

@@ -110,12 +110,28 @@ class DesignEngine:
                  sampler: str = "ddim", ddim_steps: int = 25,
                  ddim_eta: float = 1.0, step: int = 1,
                  seq_skip_steps: int | None = None, diverse: bool = True,
-                 mesh=None):
+                 guidance_scale: float = 1.0,
+                 seq_guidance_scale: float = 1.0,
+                 ligand_buckets: Sequence[int] | None = None, mesh=None):
         from e3diff_tpu.sampling.sequence import make_sequence_sampler
         from e3diff_tpu.sampling.structure import make_structure_sampler
 
         self.cfg = cfg
         self.batch_size = batch_size
+        # multi-bucket ligand padding: each request routes to the
+        # smallest compiled bucket that fits its peptide, so short
+        # peptides keep the 4x-fewer-decoder-tokens fast path while long
+        # ones still fit (a single-bucket engine must reject them). One
+        # jitted program per (bucket, stage) — compiled at warmup.
+        default_bucket = cfg.ligand_max_len or cfg.max_seq_len
+        buckets = sorted(set(int(b) for b in (ligand_buckets or
+                                              [default_bucket])))
+        for b in buckets:
+            if not 1 <= b <= cfg.max_seq_len:
+                raise ValueError(
+                    f"ligand bucket {b} outside [1, max_seq_len="
+                    f"{cfg.max_seq_len}]")
+        self.ligand_buckets = buckets
         self.structure_model = structure_model
         self.structure_params = structure_params
         self.sequence_model = sequence_model
@@ -141,10 +157,11 @@ class DesignEngine:
         self._struct_run = make_structure_sampler(
             structure_model, structure_diffusion, step=step,
             return_trajectory=False, sampler=sampler,
-            ddim_steps=ddim_steps, ddim_eta=ddim_eta)
+            ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+            guidance_scale=guidance_scale)
         self._seq_run = make_sequence_sampler(
             sequence_model, sequence_d3pm, diverse=diverse,
-            n_steps=seq_skip_steps)
+            n_steps=seq_skip_steps, guidance_scale=seq_guidance_scale)
         # one chip, two cached jit programs: serialize device use so
         # concurrent front-end threads don't interleave dispatches
         self._device_lock = threading.Lock()
@@ -217,30 +234,45 @@ class DesignEngine:
                    **kwargs)
 
     # ------------------------------------------------------------------
+    def _pick_bucket(self, record: dict) -> int:
+        """Smallest serving ligand bucket that fits the request peptide."""
+        n = int(np.asarray(record["ligand_mask"]).sum())
+        for b in self.ligand_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"request does not fit the serving shapes: peptide length "
+            f"{n} exceeds the largest ligand bucket "
+            f"({self.ligand_buckets[-1]} residues)")
+
     def featurize(self, record: dict) -> dict:
-        """One record -> per-slot feature dict (fixed serving shapes)."""
+        """One record -> per-slot feature dict (fixed serving shapes);
+        the peptide is padded into the smallest configured ligand bucket
+        it fits (slot['_bucket'])."""
         ext = 0 if record.get("already_extended") else self.cfg.pocket_ext
+        bucket = self._pick_bucket(record)
         try:
             ds = LigandBindingSiteData(
                 [record], None, max_len=self.cfg.max_seq_len,
-                pocket_ext=ext, ligand_max_len=self.cfg.ligand_max_len)
+                pocket_ext=ext, ligand_max_len=bucket)
         except RuntimeError as exc:
-            # oversized pocket/peptide ("Length exceed") is a REQUEST
-            # error, not a server fault — surface it as such (HTTP 400)
+            # oversized pocket ("Length exceed") is a REQUEST error, not
+            # a server fault — surface it as such (HTTP 400)
             raise ValueError(
                 f"request does not fit the serving shapes (receptor "
-                f"<= {self.cfg.max_seq_len}, peptide <= "
-                f"{self.cfg.ligand_max_len or self.cfg.max_seq_len} "
-                f"residues): {exc}") from exc
+                f"<= {self.cfg.max_seq_len} residues): {exc}") from exc
         slot = ds[0]
         slot["_synthetic_ligand"] = bool(record.get("synthetic_ligand"))
+        slot["_bucket"] = bucket
         return slot
 
     def warmup(self, key=None) -> None:
-        """Compile both sampler programs on a dummy batch (30-340 s cold
-        through a tunneled TPU — pay it at startup, not on request #1)."""
-        rec = pocket_record("ACD", np.zeros((3, 8), np.float32), 5)
-        self.design_records([rec], key=key, return_pdb=False)
+        """Compile the sampler programs for EVERY ligand bucket on dummy
+        batches (30-340 s per cold program through a tunneled TPU — pay
+        it at startup, not on request #1)."""
+        for b in self.ligand_buckets:
+            rec = pocket_record("ACD", np.zeros((3, 8), np.float32), b)
+            self.design_records([rec], key=key, return_pdb=False)
         self._warm = True
 
     @property
@@ -263,9 +295,10 @@ class DesignEngine:
         zero-padded (dead slots drop out via the all-zero attention
         masks). ``return_pdb`` is a bool or a per-slot sequence of bools
         (coords are reconstructed on device when any slot wants a PDB;
-        text is only formatted for the slots that asked)."""
+        text is only formatted for the slots that asked). Mixed-bucket
+        slot lists run one batched pass per ligand bucket; result order
+        follows the input order."""
         import jax
-        import jax.numpy as jnp
 
         if not slots:
             return []
@@ -276,6 +309,30 @@ class DesignEngine:
         if key is None:
             key = jax.random.PRNGKey(np.random.SeedSequence().entropy
                                      % (2 ** 32))
+        results: list[DesignResult | None] = [None] * len(slots)
+        for idxs in self._bucket_groups(slots):
+            key, sub_key = jax.random.split(key)
+            sub = self._design_bucket([slots[i] for i in idxs],
+                                      [return_pdb[i] for i in idxs],
+                                      sub_key)
+            for i, r in zip(idxs, sub):
+                results[i] = r
+        return results
+
+    def _bucket_groups(self, slots) -> list[list[int]]:
+        """Slot indices grouped by ligand bucket, ascending bucket order
+        (deterministic; each group batches together)."""
+        groups: dict[int, list[int]] = {}
+        default = self.ligand_buckets[-1]
+        for i, s in enumerate(slots):
+            groups.setdefault(int(s.get("_bucket", default)), []).append(i)
+        return [groups[b] for b in sorted(groups)]
+
+    def _design_bucket(self, slots, return_pdb, key) -> list[DesignResult]:
+        """The design pipeline for same-bucket slots (one jitted shape)."""
+        import jax
+        import jax.numpy as jnp
+
         results: list[DesignResult] = []
         feat_keys = [k for k in slots[0] if not k.startswith("_")]
 
@@ -358,15 +415,27 @@ class DesignEngine:
         ligand backbone angles (the reference's sample_sequence use case,
         sequence_model/sample.py:231-258, as a service). The structure
         sampler is skipped; recovery is reported against the record's
-        true sequence unless the ligand is synthetic."""
+        true sequence unless the ligand is synthetic. Mixed-bucket slot
+        lists run one pass per ligand bucket, input order preserved."""
         import jax
-        import jax.numpy as jnp
 
         if not slots:
             return []
         if key is None:
             key = jax.random.PRNGKey(np.random.SeedSequence().entropy
                                      % (2 ** 32))
+        results: list[DesignResult | None] = [None] * len(slots)
+        for idxs in self._bucket_groups(slots):
+            key, sub_key = jax.random.split(key)
+            sub = self._inverse_fold_bucket([slots[i] for i in idxs],
+                                            sub_key)
+            for i, r in zip(idxs, sub):
+                results[i] = r
+        return results
+
+    def _inverse_fold_bucket(self, slots, key) -> list[DesignResult]:
+        import jax
+
         results: list[DesignResult] = []
         feat_keys = [k for k in slots[0] if not k.startswith("_")]
         for start in range(0, len(slots), self.batch_size):

@@ -193,6 +193,7 @@ class DesignServer:
                     self._reply(200, {
                         "experiment": dc.asdict(eng.cfg),
                         "batch_size": eng.batch_size,
+                        "ligand_buckets": eng.ligand_buckets,
                         "structure_timesteps":
                             eng.structure_diffusion.timesteps,
                         "sequence_timesteps": eng.sequence_d3pm.timesteps,

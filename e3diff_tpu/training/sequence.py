@@ -29,6 +29,7 @@ import optax
 from flax.training import train_state
 
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
+from e3diff_tpu.diffusion.guidance import drop_conditioning
 from e3diff_tpu.ops.elbo import elbo_loss
 from e3diff_tpu.training.optim import accumulated_value_and_grad, ema_update
 
@@ -88,6 +89,11 @@ class SequenceTrainer:
     ema_decay: float = 0.0    # 0 = off (reference-faithful)
     accum_steps: int = 1      # >1: scan-accumulated microbatch gradients
                               # (training/optim.py::accumulated_value_and_grad)
+    cond_dropout: float = 0.0  # classifier-free guidance: probability of
+                               # replacing the structural conditioning
+                               # (pocket + ligand angles) with the null
+                               # conditioning per example (train only;
+                               # 0 = off — diffusion/guidance.py)
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_seq"].shape[0]
@@ -130,6 +136,12 @@ class SequenceTrainer:
         )["params"]
 
     def _losses(self, params, batch, rng, deterministic):
+        if self.cond_dropout and not deterministic:
+            # static branch (self is jit-static): at cond_dropout == 0
+            # the PRNG stream is untouched (see StructureTrainer)
+            rng, rng_cfg = jax.random.split(rng)
+            batch = drop_conditioning(rng_cfg, self.cond_dropout, batch,
+                                      drop_ligand_angles=True)
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
         b = batch["ligand_seq"].shape[0]
         # Q10: t in {0..T} inclusive

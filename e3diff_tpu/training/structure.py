@@ -24,6 +24,7 @@ import optax
 from flax.training import train_state
 
 from e3diff_tpu.diffusion.gaussian import GaussianAngleDiffusion
+from e3diff_tpu.diffusion.guidance import drop_conditioning
 from e3diff_tpu.ops.angles import wrap_angle
 from e3diff_tpu.training.optim import accumulated_value_and_grad, ema_update
 
@@ -89,6 +90,11 @@ class StructureTrainer:
     ema_decay: float = 0.0    # 0 = off (reference-faithful)
     accum_steps: int = 1      # >1: scan-accumulated microbatch gradients
                               # (training/optim.py::accumulated_value_and_grad)
+    cond_dropout: float = 0.0  # classifier-free guidance: probability of
+                               # replacing the pocket with the null
+                               # conditioning per example (train only;
+                               # 0 = off, reference-faithful —
+                               # diffusion/guidance.py)
 
     def create_state(self, rng, sample_batch) -> TrainState:
         b = sample_batch["ligand_angles"].shape[:2]
@@ -130,6 +136,12 @@ class StructureTrainer:
         )["params"]
 
     def _losses(self, params, batch, rng, deterministic):
+        if self.cond_dropout and not deterministic:
+            # static branch (self is jit-static): at cond_dropout == 0
+            # the PRNG stream is untouched and training stays
+            # bit-identical to the reference-faithful step
+            rng, rng_cfg = jax.random.split(rng)
+            batch = drop_conditioning(rng_cfg, self.cond_dropout, batch)
         rng_noise, rng_drop = jax.random.split(rng)
         t, noise, x_t = self.diffusion.noise_batch(
             rng_noise, batch["ligand_angles"])

@@ -67,6 +67,12 @@ class ExperimentConfig:
     # AdamW first-moment dtype: f32 (reference-faithful) or bf16 — halves
     # the mu stream of the HBM-bandwidth-bound train step (BENCHMARKS.md)
     mu_dtype: str = "f32"
+    # classifier-free guidance training knob: per-example probability of
+    # replacing the conditioning with the null conditioning during
+    # training (0 = off, reference-faithful). Checkpoints trained with
+    # this respond to --guidance_scale on the sampling CLIs
+    # (diffusion/guidance.py).
+    cond_dropout: float = 0.0
 
 
 def structure_train_config(**overrides) -> ExperimentConfig:

@@ -32,6 +32,13 @@ def main():
                         help="structure sampler: ddpm = faithful 1000-step loop; ddim = accelerated (--ddim_steps forwards)")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=1.0)
+    parser.add_argument("--guidance_scale", type=float, default=1.0,
+                        help="CFG scale for the structure sampler "
+                             "(1 = off; needs a --cond_dropout-trained "
+                             "checkpoint)")
+    parser.add_argument("--sequence_guidance_scale", type=float,
+                        default=1.0,
+                        help="CFG scale for the inverse-folding sampler")
     parser.add_argument("--sequence_timesteps", type=int, default=50)
     parser.add_argument("--sequence_layers", type=int, default=6)
     parser.add_argument("--synthetic", action="store_true")
@@ -101,7 +108,8 @@ def main():
         batch_size=cfg.batch_size, structure_timesteps=cfg.timesteps,
         sequence_timesteps=args.sequence_timesteps,
         sampler=args.sampler, ddim_steps=args.ddim_steps,
-        ddim_eta=args.ddim_eta,
+        ddim_eta=args.ddim_eta, guidance_scale=args.guidance_scale,
+        sequence_guidance_scale=args.sequence_guidance_scale,
         pdb_outdir=os.path.join(args.outdir, "pdbs"))
 
     print(f"mean recovery rate: {np.mean(results['recovery_rate']):.4f}")

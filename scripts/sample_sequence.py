@@ -41,6 +41,10 @@ def main():
                         help="run the D3PM reverse loop over N evenly "
                              "spaced steps instead of all T (discrete "
                              "skip sampling; not in the reference)")
+    parser.add_argument("--guidance_scale", type=float, default=1.0,
+                        help="classifier-free guidance scale on the "
+                             "logits (1 = off; needs a --cond_dropout-"
+                             "trained checkpoint)")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, sequence_sample_config())
     args = parser.parse_args()
@@ -75,7 +79,8 @@ def main():
 
     results = sample_sequence_batches(
         params, model, d3pm, test_ds.batches(cfg.batch_size), rng,
-        diverse=not args.greedy, n_steps=args.skip_steps)
+        diverse=not args.greedy, n_steps=args.skip_steps,
+        guidance_scale=args.guidance_scale)
     print(f"mean recovery rate: {np.mean(results['recovery_rate']):.4f}")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)

@@ -45,6 +45,10 @@ def main():
                              "ddim = accelerated subsequence sampler "
                              "(--ddim_steps forwards instead of T)")
     parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--guidance_scale", type=float, default=1.0,
+                        help="classifier-free guidance scale on the "
+                             "epsilon prediction (1 = off; needs a "
+                             "--cond_dropout-trained checkpoint)")
     parser.add_argument("--ddim_eta", type=float, default=1.0,
                         help="1.0 (default) matches DDPM quality at 20x fewer steps on the wrapped-angle domain (BENCHMARKS.md); 0.0 = deterministic, measured worse here")
     parser.add_argument("--all_batches", action="store_true",
@@ -95,7 +99,7 @@ def main():
         return_trajectory=not args.no_trajectory,
         trajectory_dtype=jnp.bfloat16 if args.trajectory_bf16 else None,
         sampler=args.sampler, ddim_steps=args.ddim_steps,
-        ddim_eta=args.ddim_eta)
+        ddim_eta=args.ddim_eta, guidance_scale=args.guidance_scale)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     with open(args.output, "wb") as f:

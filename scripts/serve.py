@@ -44,6 +44,18 @@ def main():
                         default="uniform",
                         help="the reference's end-to-end pipeline pairs "
                              "generated angles with the uniform transition")
+    parser.add_argument("--ligand_buckets", default=None,
+                        help="comma-separated ligand padding buckets "
+                             "(e.g. '16,64'): each request routes to the "
+                             "smallest compiled bucket that fits its "
+                             "peptide. Default: the checkpoint's single "
+                             "ligand_max_len/max_seq_len bucket")
+    parser.add_argument("--guidance_scale", type=float, default=1.0,
+                        help="classifier-free guidance scale for the "
+                             "structure sampler (1 = off; needs a "
+                             "--cond_dropout-trained checkpoint)")
+    parser.add_argument("--seq_guidance_scale", type=float, default=1.0,
+                        help="CFG scale for the inverse-folding sampler")
     parser.add_argument("--max_wait_ms", type=float, default=25.0,
                         help="micro-batching window after the first "
                              "request of a batch")
@@ -90,6 +102,10 @@ def main():
         batch_size=args.serve_batch_size, sampler=args.sampler,
         ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
         seq_skip_steps=args.seq_skip_steps, transition=args.transition,
+        guidance_scale=args.guidance_scale,
+        seq_guidance_scale=args.seq_guidance_scale,
+        ligand_buckets=([int(b) for b in args.ligand_buckets.split(",")]
+                        if args.ligand_buckets else None),
         mesh=mesh)
     print("compiling samplers (warmup) ...")
     engine.warmup()

@@ -92,7 +92,8 @@ def main():
         abstract, base_lr=cfg.lr, weight_decay=cfg.l2_norm,
         max_epochs=cfg.max_epochs, steps_per_epoch=steps_per_epoch,
         grad_clip=cfg.gradient_clip, mu_dtype=cfg.mu_dtype),
-        ema_decay=cfg.ema_decay, accum_steps=cfg.accum_steps)
+        ema_decay=cfg.ema_decay, accum_steps=cfg.accum_steps,
+        cond_dropout=cfg.cond_dropout)
     resuming = os.path.isdir(os.path.join(args.ckpt_dir, "last"))
     if resuming and len(jax.devices()) == 1:
         # restore only needs the state TREE as a template — skip the

@@ -101,7 +101,8 @@ def main():
         rng, clean_batch)
     trainer = StructureTrainer(model, diffusion, make_opt(abstract),
                                ema_decay=cfg.ema_decay,
-                               accum_steps=cfg.accum_steps)
+                               accum_steps=cfg.accum_steps,
+                               cond_dropout=cfg.cond_dropout)
     resuming = os.path.isdir(os.path.join(args.ckpt_dir, "last"))
     if resuming and len(jax.devices()) == 1:
         # restore only needs the state TREE as a template — skip the
