@@ -81,10 +81,17 @@ def drop_conditioning(key, p: float, batch: dict,
     return out
 
 
-def guided_combine(pred_2b, guidance_scale: float):
-    """Split a 2B prediction (conditional half first) and combine."""
+def guided_combine(pred_2b, guidance_scale):
+    """Split a 2B prediction (conditional half first) and combine.
+
+    ``guidance_scale`` may be a scalar or a per-example ``(B,)`` vector
+    (mixed-scale serving batches: each request rides its own w through
+    one compiled program)."""
     cond, uncond = jnp.split(pred_2b, 2, axis=0)
-    return uncond + guidance_scale * (cond - uncond)
+    w = jnp.asarray(guidance_scale)
+    if w.ndim:
+        w = w.reshape((-1,) + (1,) * (cond.ndim - 1))
+    return uncond + w * (cond - uncond)
 
 
 def concat_cond_uncond(batch: dict, drop_ligand_angles: bool = False) -> dict:

@@ -32,25 +32,28 @@ _SAMPLER_CACHE = JitSamplerCache(maxsize=8)
 
 def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True,
                           n_steps: int | None = None,
-                          guidance_scale: float = 1.0):
+                          guidance_scale: float = 1.0,
+                          guided: bool | None = None):
     """Returns a jitted f(params, batch, key) -> final logits (B, L, K).
-    Cached per (model, d3pm, diverse, n_steps, guidance_scale).
+    Cached per (model, d3pm, diverse, n_steps, guided?).
 
     guidance_scale != 1 applies classifier-free guidance to the logits
     (diffusion/guidance.py; meaningful for checkpoints trained with
     --cond_dropout > 0). The unconditional branch drops the full
     structural conditioning — pocket fields AND ligand angles — matching
     the training-time dropout; both branches run as one 2B forward per
-    step. w=1 compiles the plain conditional program."""
-    cache_key = (id(model), id(d3pm), diverse, n_steps,
-                 float(guidance_scale))
-    hit = _SAMPLER_CACHE.get(cache_key, model, d3pm)
-    if hit is not None:
-        return hit
-    guided = guidance_scale != 1.0
+    step. w=1 compiles the plain conditional program; the scale itself
+    is a traced scalar, so sweeping w recompiles nothing. ``guided=True``
+    forces the guided program even at scale 1 (CFG-enabled serving)."""
+    if guided is None:
+        guided = guidance_scale != 1.0
+    cache_key = (id(model), id(d3pm), diverse, n_steps, guided)
+    inner = _SAMPLER_CACHE.get(cache_key, model, d3pm)
+    if inner is not None:
+        return _bind_scale(inner, guidance_scale)
 
     @jax.jit
-    def run(params, batch, key):
+    def inner(params, batch, key, scale):
         key_init, key_loop = jax.random.split(key)
         b, l, k = batch["ligand_seq"].shape
         x_init = d3pm.init_noise(key_init, b, l,
@@ -71,13 +74,27 @@ def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True,
                 cond["receptor_seq"], cond["receptor_angles"],
                 cond["receptor_attn_mask"],
                 deterministic=True)
-            return (guided_combine(logits, guidance_scale) if guided
-                    else logits)
+            return guided_combine(logits, scale) if guided else logits
 
         return d3pm.sample_loop(denoise_fn, key_loop, x_init,
                                 diverse=diverse, n_steps=n_steps)
 
-    _SAMPLER_CACHE.put(cache_key, run, model, d3pm)
+    _SAMPLER_CACHE.put(cache_key, inner, model, d3pm)
+    return _bind_scale(inner, guidance_scale)
+
+
+def _bind_scale(inner, guidance_scale: float):
+    """f(params, batch, key, scale) -> f(params, batch, key[, scale]).
+    The scale rides as a traced array, so every w — and per-example
+    (B,) scale vectors from mixed-scale serving batches — shares one
+    compiled program (modulo the scalar->vector retrace)."""
+    default = jnp.float32(guidance_scale)
+
+    def run(params, batch, key, scale=None):
+        s = default if scale is None else jnp.asarray(scale, jnp.float32)
+        return inner(params, batch, key, s)
+
+    run.inner = inner   # the shared jitted program (cache identity)
     return run
 
 

@@ -38,7 +38,8 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
                            step: int = 1, return_trajectory: bool = True,
                            trajectory_dtype=None, sampler: str = "ddpm",
                            ddim_steps: int = 50, ddim_eta: float = 1.0,
-                           guidance_scale: float = 1.0):
+                           guidance_scale: float = 1.0,
+                           guided: bool | None = None):
     """Returns a jitted f(params, batch, key) -> (final, trajectory).
     Cached per (model, diffusion, step, flags) so repeated calls reuse the
     compiled program.
@@ -52,19 +53,23 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
     prediction (diffusion/guidance.py; meaningful for checkpoints trained
     with --cond_dropout > 0). Both branches run as one 2B-batch forward
     per step; w=1 compiles the plain conditional program (bit-identical
-    to no-CFG)."""
+    to no-CFG). The scale itself is a TRACED scalar of the guided
+    program, so sweeping w recompiles nothing; ``guided=True`` forces
+    the guided program even at scale 1 (CFG-enabled serving engines that
+    default to w=1 but honor per-request scales)."""
     if sampler not in ("ddpm", "ddim"):
         raise ValueError(f"unknown sampler {sampler!r}")
+    if guided is None:
+        guided = guidance_scale != 1.0
     key = (id(model), id(diffusion), step, return_trajectory,
            str(trajectory_dtype), sampler, ddim_steps, float(ddim_eta),
-           float(guidance_scale))
-    hit = _SAMPLER_CACHE.get(key, model, diffusion)
-    if hit is not None:
-        return hit
-    guided = guidance_scale != 1.0
+           guided)
+    inner = _SAMPLER_CACHE.get(key, model, diffusion)
+    if inner is not None:
+        return _bind_scale(inner, guidance_scale)
 
     @jax.jit
-    def run(params, batch, key):
+    def inner(params, batch, key, scale):
         key_init, key_loop = jax.random.split(key)
         x_init = sample_wrapped_noise(
             key_init, batch["ligand_angles"].shape,
@@ -94,7 +99,7 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
             pred = model.apply(
                 {"params": params}, t_vec, x, lig_mask, enc_out,
                 rec_mask, deterministic=True, method=model.decode)
-            return guided_combine(pred, guidance_scale) if guided else pred
+            return guided_combine(pred, scale) if guided else pred
 
         if sampler == "ddim":
             return diffusion.sample_loop_ddim(
@@ -106,7 +111,22 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
             return_trajectory=return_trajectory,
             trajectory_dtype=trajectory_dtype)
 
-    _SAMPLER_CACHE.put(key, run, model, diffusion)
+    _SAMPLER_CACHE.put(key, inner, model, diffusion)
+    return _bind_scale(inner, guidance_scale)
+
+
+def _bind_scale(inner, guidance_scale: float):
+    """f(params, batch, key, scale) -> f(params, batch, key[, scale]).
+    The scale rides as a traced array, so every w — and per-example
+    (B,) scale vectors from mixed-scale serving batches — shares one
+    compiled program (modulo the scalar->vector retrace)."""
+    default = jnp.float32(guidance_scale)
+
+    def run(params, batch, key, scale=None):
+        s = default if scale is None else jnp.asarray(scale, jnp.float32)
+        return inner(params, batch, key, s)
+
+    run.inner = inner   # the shared jitted program (cache identity)
     return run
 
 

@@ -112,6 +112,7 @@ class DesignEngine:
                  seq_skip_steps: int | None = None, diverse: bool = True,
                  guidance_scale: float = 1.0,
                  seq_guidance_scale: float = 1.0,
+                 enable_cfg: bool = False,
                  ligand_buckets: Sequence[int] | None = None, mesh=None):
         from e3diff_tpu.sampling.sequence import make_sequence_sampler
         from e3diff_tpu.sampling.structure import make_structure_sampler
@@ -154,14 +155,25 @@ class DesignEngine:
             self.structure_params = shard_params(structure_params, mesh)
             self.sequence_params = shard_params(sequence_params, mesh)
             self._batch_sharding = batch_sharding(mesh)
+        # classifier-free guidance: an engine is CFG-capable per sampler
+        # when its default scale != 1 OR enable_cfg forces the guided
+        # program at default w=1. Guided programs take the scale as a
+        # traced (B,) vector, so every request in a micro-batch rides its
+        # OWN w through one compiled program (no per-scale recompiles);
+        # the cost is the guided 2B forward even for w=1 requests.
+        self.guidance_scale = float(guidance_scale)
+        self.seq_guidance_scale = float(seq_guidance_scale)
+        self._struct_guided = enable_cfg or self.guidance_scale != 1.0
+        self._seq_guided = enable_cfg or self.seq_guidance_scale != 1.0
         self._struct_run = make_structure_sampler(
             structure_model, structure_diffusion, step=step,
             return_trajectory=False, sampler=sampler,
             ddim_steps=ddim_steps, ddim_eta=ddim_eta,
-            guidance_scale=guidance_scale)
+            guidance_scale=guidance_scale, guided=self._struct_guided)
         self._seq_run = make_sequence_sampler(
             sequence_model, sequence_d3pm, diverse=diverse,
-            n_steps=seq_skip_steps, guidance_scale=seq_guidance_scale)
+            n_steps=seq_skip_steps, guidance_scale=seq_guidance_scale,
+            guided=self._seq_guided)
         # one chip, two cached jit programs: serialize device use so
         # concurrent front-end threads don't interleave dispatches
         self._device_lock = threading.Lock()
@@ -245,10 +257,29 @@ class DesignEngine:
             f"{n} exceeds the largest ligand bucket "
             f"({self.ligand_buckets[-1]} residues)")
 
-    def featurize(self, record: dict) -> dict:
+    def _slot_scale(self, value, default: float, guided: bool,
+                    name: str) -> float:
+        """Validate a per-request guidance scale against the engine's
+        CFG capability (a non-guided engine compiled the plain
+        conditional program — silently ignoring an override would lie)."""
+        if value is None:
+            return default
+        w = float(value)
+        if not np.isfinite(w):
+            raise ValueError(f"{name} must be finite, got {value!r}")
+        if not guided and w != default:
+            raise ValueError(
+                f"{name}={w} needs a CFG-enabled engine: start the "
+                f"server with --enable_cfg (or a non-1 default scale) "
+                f"and a --cond_dropout-trained checkpoint")
+        return w
+
+    def featurize(self, record: dict, *, guidance_scale=None,
+                  seq_guidance_scale=None) -> dict:
         """One record -> per-slot feature dict (fixed serving shapes);
         the peptide is padded into the smallest configured ligand bucket
-        it fits (slot['_bucket'])."""
+        it fits (slot['_bucket']). Per-request CFG scales override the
+        engine defaults when the engine is CFG-enabled."""
         ext = 0 if record.get("already_extended") else self.cfg.pocket_ext
         bucket = self._pick_bucket(record)
         try:
@@ -264,6 +295,12 @@ class DesignEngine:
         slot = ds[0]
         slot["_synthetic_ligand"] = bool(record.get("synthetic_ligand"))
         slot["_bucket"] = bucket
+        slot["_guidance_scale"] = self._slot_scale(
+            guidance_scale, self.guidance_scale, self._struct_guided,
+            "guidance_scale")
+        slot["_seq_guidance_scale"] = self._slot_scale(
+            seq_guidance_scale, self.seq_guidance_scale, self._seq_guided,
+            "seq_guidance_scale")
         return slot
 
     def warmup(self, key=None) -> None:
@@ -319,6 +356,17 @@ class DesignEngine:
                 results[i] = r
         return results
 
+    def _scale_kwargs(self, chunk, guided: bool, slot_key: str,
+                      default: float) -> dict:
+        """Per-slot guidance scales as a full-batch (B,) vector kwarg for
+        a guided sampler ({} for plain samplers — their programs take no
+        scale). Pad slots get the default (their masks are all-zero)."""
+        if not guided:
+            return {}
+        w = np.full(self.batch_size, default, np.float32)
+        w[:len(chunk)] = [s.get(slot_key, default) for s in chunk]
+        return {"scale": w}
+
     def _bucket_groups(self, slots) -> list[list[int]]:
         """Slot indices grouped by ligand bucket, ascending bucket order
         (deterministic; each group batches together)."""
@@ -344,14 +392,20 @@ class DesignEngine:
 
             key, k_struct, k_seq = jax.random.split(key, 3)
             jbatch = self._to_device(batch)
+            struct_kw = self._scale_kwargs(
+                chunk, self._struct_guided, "_guidance_scale",
+                self.guidance_scale)
+            seq_kw = self._scale_kwargs(
+                chunk, self._seq_guided, "_seq_guidance_scale",
+                self.seq_guidance_scale)
             with self._device_lock:
                 angles_final, _ = self._struct_run(
-                    self.structure_params, jbatch, k_struct)
+                    self.structure_params, jbatch, k_struct, **struct_kw)
                 seq_batch = dict(jbatch)
                 seq_batch["ligand_angles"] = angles_final.astype(
                     jbatch["ligand_angles"].dtype)
                 logits = self._seq_run(self.sequence_params, seq_batch,
-                                       k_seq)
+                                       k_seq, **seq_kw)
                 coords_b = None
                 if any(want_pdb):
                     coords_b = np.asarray(self._nerf_run(
@@ -444,8 +498,12 @@ class DesignEngine:
             batch = self._stack_slots(chunk, feat_keys)
             key, k_seq = jax.random.split(key)
             jbatch = self._to_device(batch)
+            seq_kw = self._scale_kwargs(
+                chunk, self._seq_guided, "_seq_guidance_scale",
+                self.seq_guidance_scale)
             with self._device_lock:
-                logits = self._seq_run(self.sequence_params, jbatch, k_seq)
+                logits = self._seq_run(self.sequence_params, jbatch, k_seq,
+                                       **seq_kw)
                 pred = np.asarray(logits).argmax(-1)
             for i in range(n_valid):
                 length = int(batch["ligand_attn_mask"][i].sum())

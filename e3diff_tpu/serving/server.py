@@ -120,8 +120,11 @@ class DesignServer:
             raise ValueError(
                 f"n_designs must be in [1, {4 * self.engine.batch_size}]")
         want_pdb = bool(payload.get("return_pdb", True))
-        # featurize (and validate) here, once per request
-        slot = self.engine.featurize(record)
+        # featurize (and validate) here, once per request; per-request
+        # CFG scales need a CFG-enabled engine (else 400)
+        slot = self.engine.featurize(
+            record, guidance_scale=payload.get("guidance_scale"),
+            seq_guidance_scale=payload.get("seq_guidance_scale"))
         futures = [self.batcher.submit((slot, want_pdb)) for _ in range(n)]
         results = [f.result(timeout=self.request_timeout_s)
                    for f in futures]
@@ -141,14 +144,16 @@ class DesignServer:
     def _handle_inverse_fold(self, payload: dict) -> dict:
         """Design sequences for the record's OWN backbone angles (no
         structure sampling) — POST /inverse_fold {"record": {...},
-        "n_samples": k}."""
+        "n_samples": k}. "guidance_scale" here means the SEQUENCE
+        sampler's CFG scale (the only sampler this endpoint runs)."""
         t0 = time.monotonic()
         record = _record_from_json(payload)
         n = int(payload.get("n_samples", 1))
         if not 1 <= n <= 4 * self.engine.batch_size:
             raise ValueError(
                 f"n_samples must be in [1, {4 * self.engine.batch_size}]")
-        slot = self.engine.featurize(record)
+        slot = self.engine.featurize(
+            record, seq_guidance_scale=payload.get("guidance_scale"))
         futures = [self.if_batcher.submit(slot) for _ in range(n)]
         results = [f.result(timeout=self.request_timeout_s)
                    for f in futures]
@@ -194,6 +199,10 @@ class DesignServer:
                         "experiment": dc.asdict(eng.cfg),
                         "batch_size": eng.batch_size,
                         "ligand_buckets": eng.ligand_buckets,
+                        "guidance_scale": eng.guidance_scale,
+                        "seq_guidance_scale": eng.seq_guidance_scale,
+                        "cfg_enabled": {"structure": eng._struct_guided,
+                                        "sequence": eng._seq_guided},
                         "structure_timesteps":
                             eng.structure_diffusion.timesteps,
                         "sequence_timesteps": eng.sequence_d3pm.timesteps,

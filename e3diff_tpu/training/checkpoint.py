@@ -174,7 +174,30 @@ class CheckpointManager:
 
     def restore(self, name: str, abstract_state: Any):
         self._join_snapshots(raise_on_error=False)
-        return self._ckptr.restore(self._path(name), abstract_state)
+        return self._ckptr.restore(self._path(name),
+                                   self._pin_shardings(abstract_state))
+
+    @staticmethod
+    def _pin_shardings(abstract_state):
+        """Give sharding-less ShapeDtypeStruct leaves (jax.eval_shape
+        output — the sampling CLIs' restore path) a concrete
+        default-device sharding. Without one, orbax falls back to the
+        sharding FILE saved with the checkpoint, which names the saving
+        platform's devices — a checkpoint trained on TPU then fails to
+        restore on a CPU-only host ("sharding ... Got None"). Concrete
+        arrays in the tree (train-state resume) keep their own shardings
+        untouched."""
+        import jax
+
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+        def pin(x):
+            if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=sharding)
+            return x
+
+        return jax.tree.map(pin, abstract_state)
 
     def exists(self, name: str) -> bool:
         # an in-flight save lands in a .tmp dir, so probe only after the

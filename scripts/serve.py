@@ -56,6 +56,14 @@ def main():
                              "--cond_dropout-trained checkpoint)")
     parser.add_argument("--seq_guidance_scale", type=float, default=1.0,
                         help="CFG scale for the inverse-folding sampler")
+    parser.add_argument("--enable_cfg", action="store_true",
+                        help="compile the guided samplers even at "
+                             "default scale 1 so requests may send "
+                             "per-request guidance_scale/"
+                             "seq_guidance_scale (the scale is a traced "
+                             "(B,) vector: mixed scales batch together "
+                             "with no recompiles; costs the 2B guided "
+                             "forward even for w=1 requests)")
     parser.add_argument("--max_wait_ms", type=float, default=25.0,
                         help="micro-batching window after the first "
                              "request of a batch")
@@ -104,6 +112,7 @@ def main():
         seq_skip_steps=args.seq_skip_steps, transition=args.transition,
         guidance_scale=args.guidance_scale,
         seq_guidance_scale=args.seq_guidance_scale,
+        enable_cfg=args.enable_cfg,
         ligand_buckets=([int(b) for b in args.ligand_buckets.split(",")]
                         if args.ligand_buckets else None),
         mesh=mesh)

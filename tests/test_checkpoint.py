@@ -371,3 +371,30 @@ def test_cross_topology_resume(tmp_path):
     leaf = jax.tree.leaves(restored2["state"].params)[0]
     assert dict(leaf.sharding.mesh.shape) == {"dp": 8, "tp": 1}
     mgr.close()
+
+
+def test_restore_abstract_tree_without_saved_sharding_file(tmp_path):
+    """Sampling CLIs restore with a jax.eval_shape abstract tree (no
+    shardings). CheckpointManager must pin a concrete default-device
+    sharding itself rather than fall back to the checkpoint's _sharding
+    FILE — that file names the SAVING platform's devices, so a
+    TPU-trained checkpoint would refuse to restore on a CPU-only host
+    ("sharding ... should be specified, concrete ... Got None").
+    Deleting the _sharding file simulates the cross-platform case."""
+    import os
+
+    _, _, _, state = _setup()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_final(state.params)
+    mgr.wait_until_finished()
+    shard_file = tmp_path / "ckpt" / "final" / "_sharding"
+    assert shard_file.exists()
+    os.unlink(shard_file)
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.params)
+    restored = mgr.restore("final", {"params": abstract})["params"]
+    for a, b in zip(jax.tree.leaves(restored),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()

@@ -317,10 +317,62 @@ def test_sequence_guided_sampler_matches_two_forwards():
 
 
 def test_guidance_scale_one_reuses_plain_program():
-    batch = _batch()
     model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
     diff = GaussianAngleDiffusion.cosine(6)
     plain = make_structure_sampler(model, diff, return_trajectory=False)
     one = make_structure_sampler(model, diff, return_trajectory=False,
                                  guidance_scale=1.0)
-    assert plain is one
+    assert plain.inner is one.inner
+
+
+def test_guidance_scale_sweep_shares_one_program():
+    """The scale is a traced scalar of the guided program: sweeping w
+    must reuse ONE compiled program, not compile per scale."""
+    model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
+    diff = GaussianAngleDiffusion.cosine(6)
+    a = make_structure_sampler(model, diff, return_trajectory=False,
+                               guidance_scale=1.5)
+    b = make_structure_sampler(model, diff, return_trajectory=False,
+                               guidance_scale=3.0)
+    assert a.inner is b.inner
+    # and the guided program is distinct from the plain one
+    plain = make_structure_sampler(model, diff, return_trajectory=False)
+    assert plain.inner is not a.inner
+    # forced-guided at w=1 (CFG-enabled serving) shares the guided program
+    forced = make_structure_sampler(model, diff, return_trajectory=False,
+                                    guidance_scale=1.0, guided=True)
+    assert forced.inner is a.inner
+
+    qmodel = SequenceDenoiser(_tiny_cfg(False, "xavier_all"),
+                              _tiny_cfg(True, "xavier_all"))
+    d3pm = D3PMDiffusion.create(UniformTransition(20), timesteps=6)
+    qa = make_sequence_sampler(qmodel, d3pm, guidance_scale=1.5)
+    qb = make_sequence_sampler(qmodel, d3pm, guidance_scale=3.0)
+    assert qa.inner is qb.inner
+
+
+def test_per_example_scale_vector_matches_scalar_runs():
+    """A (B,) per-example scale vector (mixed-scale serving batches)
+    must equal running each example at its scalar scale."""
+    batch = _batch()
+    model = StructureDenoiser(_tiny_cfg(False), _tiny_cfg(True))
+    diff = GaussianAngleDiffusion.cosine(6)
+    rng = jax.random.PRNGKey(8)
+    params = model.init(
+        rng, jnp.zeros((B,), jnp.int32), batch["ligand_angles"],
+        batch["ligand_attn_mask"], batch["receptor_seq"],
+        batch["receptor_angles"], batch["receptor_attn_mask"])["params"]
+    key = jax.random.PRNGKey(40)
+    scales = np.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0], np.float32)
+
+    guided = make_structure_sampler(model, diff, return_trajectory=False,
+                                    guidance_scale=1.0, guided=True)
+    mixed, _ = guided(params, batch, key, scale=scales)
+    for w in (1.0, 2.0, 3.0):
+        at_w, _ = make_structure_sampler(
+            model, diff, return_trajectory=False, guidance_scale=w,
+            guided=True)(params, batch, key)
+        idx = np.nonzero(scales == w)[0]
+        np.testing.assert_allclose(np.asarray(mixed)[idx],
+                                   np.asarray(at_w)[idx],
+                                   atol=1e-5, rtol=0)

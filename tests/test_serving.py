@@ -549,3 +549,89 @@ def test_guided_engine_runs():
     assert len(r2.sequence) == len(r1.sequence) == 7
     assert np.isfinite(r2.angles).all()
     assert not np.allclose(r1.angles, r2.angles)
+
+
+def test_per_request_guidance_needs_cfg_engine():
+    """A plain engine compiled the conditional program only — it must
+    REJECT a per-request scale override (400) rather than silently
+    ignore it; the engine-default value passes through."""
+    eng = _tiny_engine(batch_size=2)
+    rec = _pocket(6, 7)
+    with pytest.raises(ValueError, match="CFG-enabled"):
+        eng.featurize(rec, guidance_scale=2.0)
+    with pytest.raises(ValueError, match="CFG-enabled"):
+        eng.featurize(rec, seq_guidance_scale=2.0)
+    slot = eng.featurize(rec, guidance_scale=1.0, seq_guidance_scale=1.0)
+    assert slot["_guidance_scale"] == 1.0
+    with pytest.raises(ValueError, match="finite"):
+        _tiny_engine(batch_size=2, enable_cfg=True).featurize(
+            rec, guidance_scale=float("nan"))
+
+
+def test_per_request_guidance_mixed_batch():
+    """enable_cfg engine: requests with different w batch together (the
+    scale is a per-example vector of ONE compiled program) and each
+    request's w is honored — w=1 and w=4 slots differ, equal-w slots at
+    the same batch position reproduce."""
+    eng = _tiny_engine(batch_size=4, enable_cfg=True)
+    assert eng._struct_guided and eng._seq_guided
+    rec = _pocket(6, 7, seed=9)
+    key = jax.random.PRNGKey(3)
+    slots = [eng.featurize(rec, guidance_scale=w, seq_guidance_scale=w)
+             for w in (1.0, 4.0, 1.0)]
+    out = eng.design_slots(slots, key=key, return_pdb=False)
+    # control: the same 3-slot batch with all scales = 1 and the same
+    # key shares the batch-wide sampling noise position-for-position, so
+    # any per-position difference is the scale's doing
+    base = eng.design_slots(
+        [eng.featurize(rec, guidance_scale=1.0, seq_guidance_scale=1.0)
+         for _ in range(3)], key=key, return_pdb=False)
+    np.testing.assert_allclose(out[0].angles, base[0].angles, atol=1e-6)
+    np.testing.assert_allclose(out[2].angles, base[2].angles, atol=1e-6)
+    assert not np.allclose(out[1].angles, base[1].angles)
+
+
+def test_server_per_request_guidance_scale():
+    eng = _tiny_engine(batch_size=4, enable_cfg=True)
+    server = DesignServer(eng, port=0, max_wait_ms=5.0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        eng.warmup(key=jax.random.PRNGKey(0))
+        pocket = _pocket(6, 7)
+        payload = {
+            "pocket": {"sequence": "".join(pocket["amino_acid"][:6]),
+                       "angles": np.asarray(
+                           pocket["angle_features"][:6]).tolist(),
+                       "peptide_length": 7},
+            "n_designs": 1, "guidance_scale": 2.5,
+            "seq_guidance_scale": 1.5, "return_pdb": False,
+        }
+        code, body = _http("POST", f"{base}/design", payload)
+        assert code == 200, body
+        assert len(body["designs"][0]["sequence"]) == 7
+        code, body = _http("GET", f"{base}/config")
+        assert code == 200
+        assert body["cfg_enabled"] == {"structure": True, "sequence": True}
+    finally:
+        server.shutdown()
+
+
+def test_server_guidance_scale_rejected_without_cfg():
+    eng = _tiny_engine(batch_size=4)
+    server = DesignServer(eng, port=0, max_wait_ms=5.0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        pocket = _pocket(6, 7)
+        payload = {
+            "pocket": {"sequence": "".join(pocket["amino_acid"][:6]),
+                       "angles": np.asarray(
+                           pocket["angle_features"][:6]).tolist(),
+                       "peptide_length": 7},
+            "n_designs": 1, "guidance_scale": 2.5,
+        }
+        code, body = _http("POST", f"{base}/design", payload)
+        assert code == 400 and "CFG-enabled" in body["error"]
+    finally:
+        server.shutdown()
