@@ -104,22 +104,34 @@ class MultiHeadAttention(nn.Module):
     is_cross: bool = False
 
     @nn.compact
-    def __call__(self, x, kv, extended_mask, *, deterministic: bool = True):
+    def __call__(self, x, kv, extended_mask, *, deterministic: bool = True,
+                 cached_kv=None, kv_only: bool = False):
         cfg = self.config
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+        if kv_only:
+            # project ONLY k/v from the (timestep-independent) memory so
+            # samplers can cache them across the reverse-diffusion scan
+            b, lk, _ = kv.shape
+            k = make_dense(cfg, h, "key", fan_in=h)(kv).reshape(b, lk, nh, hd)
+            v = make_dense(cfg, h, "value", fan_in=h)(kv).reshape(b, lk, nh, hd)
+            return k, v
+
         b, lq, _ = x.shape
-        lk = kv.shape[1]
-
         q = make_dense(cfg, h, "query", fan_in=h)(x)
-        k = make_dense(cfg, h, "key", fan_in=h)(kv)
-        v = make_dense(cfg, h, "value", fan_in=h)(kv)
-
-        # contract directly in (B, L, H, D) layout — no head transposes
-        # (XLA materializes .transpose copies; dot_general batch dims don't
-        # need them)
         q = q.reshape(b, lq, nh, hd)
-        k = k.reshape(b, lk, nh, hd)
-        v = v.reshape(b, lk, nh, hd)
+        if cached_kv is not None:
+            k, v = cached_kv            # (B, Lk, nh, hd) each, precomputed
+            lk = k.shape[1]
+        else:
+            lk = kv.shape[1]
+            k = make_dense(cfg, h, "key", fan_in=h)(kv)
+            v = make_dense(cfg, h, "value", fan_in=h)(kv)
+            # contract directly in (B, L, H, D) layout — no head transposes
+            # (XLA materializes .transpose copies; dot_general batch dims
+            # don't need them)
+            k = k.reshape(b, lk, nh, hd)
+            v = v.reshape(b, lk, nh, hd)
 
         pe = None
         if self.relative and cfg.position_embedding_type == "relative_key":
@@ -201,12 +213,18 @@ class AttentionBlock(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, kv, extended_mask, *, deterministic: bool = True):
+    def __call__(self, x, kv, extended_mask, *, deterministic: bool = True,
+                 cached_kv=None, kv_only: bool = False):
         cfg = self.config
-        is_cross = kv is not None
+        if kv_only:
+            return MultiHeadAttention(cfg, relative=False, is_cross=True,
+                                      name="self")(
+                None, kv, None, deterministic=deterministic, kv_only=True)
+        is_cross = kv is not None or cached_kv is not None
         ctx = MultiHeadAttention(cfg, relative=not is_cross,
                                  is_cross=is_cross, name="self")(
-            x, kv if is_cross else x, extended_mask, deterministic=deterministic)
+            x, kv if is_cross else x, extended_mask, deterministic=deterministic,
+            cached_kv=cached_kv)
         out = make_dense(cfg, cfg.hidden_size, "output_dense", fan_in=cfg.hidden_size)(ctx)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
@@ -223,13 +241,19 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, extended_mask, enc_out=None, enc_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cross_kv=None,
+                 kv_only: bool = False):
         cfg = self.config
+        if kv_only:
+            return AttentionBlock(cfg, name="crossattention")(
+                None, enc_out, None, deterministic=deterministic, kv_only=True)
         x = AttentionBlock(cfg, name="attention")(
             x, None, extended_mask, deterministic=deterministic)
-        if cfg.add_cross_attention and enc_out is not None:
+        if cfg.add_cross_attention and (enc_out is not None
+                                        or cross_kv is not None):
             x = AttentionBlock(cfg, name="crossattention")(
-                x, enc_out, enc_mask, deterministic=deterministic)
+                x, enc_out, enc_mask, deterministic=deterministic,
+                cached_kv=cross_kv)
         y = make_dense(cfg, cfg.intermediate_size, "intermediate_dense",
                        fan_in=cfg.hidden_size)(x)
         y = jax.nn.gelu(y, approximate=False)
@@ -255,9 +279,15 @@ class _LayerScanBody(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, extended_mask, enc_out, enc_mask, deterministic):
+    def __call__(self, x, extended_mask, enc_out, enc_mask, deterministic,
+                 cross_kv=None, kv_only=False):
+        if kv_only:
+            kv = TransformerLayer(self.config, name="layer")(
+                x, extended_mask, enc_out, enc_mask, deterministic,
+                kv_only=True)
+            return x, kv
         x = TransformerLayer(self.config, name="layer")(
-            x, extended_mask, enc_out, enc_mask, deterministic)
+            x, extended_mask, enc_out, enc_mask, deterministic, cross_kv)
         return x, None
 
 
@@ -273,31 +303,49 @@ class TransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, extended_mask, enc_out=None, enc_mask=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cross_kv=None,
+                 kv_only: bool = False):
+        """kv_only=True: project each layer's cross-attention k/v from
+        ``enc_out`` and return them WITHOUT running the stack — samplers
+        cache these across the reverse-diffusion scan when the memory is
+        timestep-independent (structure model; the sequence model's
+        receptor fuse takes the timestep, so it cannot cache). Layout:
+        tuple-of-(k, v) per layer (unrolled) or (k, v) with a leading
+        layer axis (scan_layers); produce and consume with the SAME
+        config. cross_kv: the cached value, fed back into the layers in
+        place of the k/v projections — numerics are bit-identical."""
         cfg = self.config
         if cfg.scan_layers:
             body = _LayerScanBody
             if cfg.remat != "none":
                 body = nn.remat(body, policy=_remat_policy(cfg.remat),
-                                static_argnums=(5,), prevent_cse=False)
+                                static_argnums=(5, 7), prevent_cse=False)
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast,) * 4,
+                in_axes=(nn.broadcast,) * 4 + (0, nn.broadcast),
                 length=cfg.num_layers,
             )(cfg, name="layers")
-            x, _ = scanned(x, extended_mask, enc_out, enc_mask, deterministic)
-            return x
+            x, ys = scanned(x, extended_mask, enc_out, enc_mask,
+                            deterministic, cross_kv, kv_only)
+            return ys if kv_only else x
 
         layer_cls = TransformerLayer
         if cfg.remat != "none":
             layer_cls = nn.remat(TransformerLayer,
                                  policy=_remat_policy(cfg.remat),
-                                 static_argnums=(5,))
+                                 static_argnums=(5, 7))
+        if kv_only:
+            return tuple(
+                layer_cls(cfg, name=f"layer_{i}")(
+                    x, extended_mask, enc_out, enc_mask, deterministic,
+                    None, True)
+                for i in range(cfg.num_layers))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, name=f"layer_{i}")(
-                x, extended_mask, enc_out, enc_mask, deterministic)
+                x, extended_mask, enc_out, enc_mask, deterministic,
+                None if cross_kv is None else cross_kv[i])
         return x
 
 

@@ -71,9 +71,23 @@ class StructureDenoiser(nn.Module):
                                 deterministic=deterministic)
         return self.encoder(rec, rec_ext, deterministic=deterministic)
 
+    def precompute_cross_kv(self, encoder_out):
+        """Project every decoder layer's cross-attention k/v from the
+        (timestep-independent) pocket encoding. Samplers compute this ONCE
+        per batch and pass it to ``decode`` inside the T-step scan, saving
+        2 matmuls x num_layers over the full receptor length per step
+        (bit-identical numerics — the same Dense params are applied to the
+        same memory, just hoisted out of the loop)."""
+        return self.decoder(None, None, encoder_out, None, kv_only=True)
+
     def decode(self, timestep, noised_ligand_angles, ligand_mask,
-               encoder_out, receptor_mask, *, deterministic: bool = True):
-        """Denoise ligand angles against a precomputed pocket encoding."""
+               encoder_out, receptor_mask, *, deterministic: bool = True,
+               cross_kv=None):
+        """Denoise ligand angles against a precomputed pocket encoding.
+
+        cross_kv: optional output of ``precompute_cross_kv`` — when given,
+        the decoder reuses the cached k/v instead of re-projecting
+        ``encoder_out`` (which is then only needed for the cache)."""
         dec_cfg = self.decoder_config
         lig_ext = extend_attention_mask(ligand_mask, dec_cfg.dtype)
         rec_ext = extend_attention_mask(receptor_mask, dec_cfg.dtype)
@@ -82,8 +96,10 @@ class StructureDenoiser(nn.Module):
         t_emb = self.timestep_projector(jnp.asarray(timestep))[:, None, :]
         lig = self.timestep_emb(lig, t_emb, lig_ext,
                                 deterministic=deterministic)
-        dec_out = self.decoder(lig, lig_ext, encoder_out, rec_ext,
-                               deterministic=deterministic)
+        dec_out = self.decoder(lig, lig_ext,
+                               None if cross_kv is not None else encoder_out,
+                               rec_ext, deterministic=deterministic,
+                               cross_kv=cross_kv)
         return self.angles_predictor(dec_out)
 
     def __call__(

@@ -91,6 +91,11 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
         enc_out = model.apply(
             {"params": params}, rec_seq, rec_ang, rec_mask,
             deterministic=True, method=model.encode_receptor)
+        # the decoder's cross-attention k/v over that encoding are ALSO
+        # timestep-independent: project them once here instead of inside
+        # every one of the T scan steps (bit-identical numerics)
+        cross_kv = model.apply(
+            {"params": params}, enc_out, method=model.precompute_cross_kv)
 
         def denoise_fn(t_vec, x):
             if guided:
@@ -98,7 +103,8 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
                 x = jnp.concatenate([x, x], axis=0)
             pred = model.apply(
                 {"params": params}, t_vec, x, lig_mask, enc_out,
-                rec_mask, deterministic=True, method=model.decode)
+                rec_mask, deterministic=True, method=model.decode,
+                cross_kv=cross_kv)
             return guided_combine(pred, scale) if guided else pred
 
         if sampler == "ddim":

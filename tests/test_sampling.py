@@ -120,15 +120,17 @@ def test_sampler_jit_program_cache():
     diff = GaussianAngleDiffusion.cosine(4)
     a = make_structure_sampler(smodel, diff, step=1, return_trajectory=False)
     b = make_structure_sampler(smodel, diff, step=1, return_trajectory=False)
-    assert a is b
+    # the guidance-scale binder returns a fresh thin wrapper per call, but
+    # the jitted program underneath (``.inner``) must be the cached one
+    assert a.inner is b.inner
     c = make_structure_sampler(smodel, diff, step=2, return_trajectory=False)
-    assert c is not a
+    assert c.inner is not a.inner
 
     qmodel, _ = _sequence_model_and_params(ds)
     d3pm = D3PMDiffusion.create(BlosumTransition(), timesteps=4)
     d = make_sequence_sampler(qmodel, d3pm, diverse=True)
-    assert make_sequence_sampler(qmodel, d3pm, diverse=True) is d
-    assert make_sequence_sampler(qmodel, d3pm, diverse=False) is not d
+    assert make_sequence_sampler(qmodel, d3pm, diverse=True).inner is d.inner
+    assert make_sequence_sampler(qmodel, d3pm, diverse=False).inner is not d.inner
 
 
 def test_pad_generated_zero_valid_batch():
@@ -199,9 +201,9 @@ def test_make_structure_sampler_cache_hit():
     diff = GaussianAngleDiffusion.cosine(4)
     s1 = make_structure_sampler(model, diff, return_trajectory=False)
     s2 = make_structure_sampler(model, diff, return_trajectory=False)
-    assert s1 is s2
+    assert s1.inner is s2.inner   # same cached jit under the scale binder
     s3 = make_structure_sampler(model, diff, return_trajectory=True)
-    assert s3 is not s1
+    assert s3.inner is not s1.inner
 
 
 def test_ddim_sampler_math_and_wiring():
@@ -313,3 +315,95 @@ def test_d3pm_skip_sampling():
     assert np.isfinite(np.asarray(short)).all()
     # the short ladder is a different program with different draws
     assert np.abs(np.asarray(short) - np.asarray(full_a)).max() > 1e-6
+
+
+def test_cross_kv_cache_bit_identical():
+    """Decoder cross-attention k/v cached once per batch (the pocket
+    encoding is timestep-independent) must be BIT-identical to
+    re-projecting them inside every decode — in both the unrolled and the
+    scan_layers parameter layouts (models/blocks.py kv_only/cross_kv;
+    the production sampler in sampling/structure.py relies on this)."""
+    import dataclasses
+
+    ds = _dataset(4)
+    batch = next(ds.batches(4))
+    for scan_layers in (False, True):
+        enc_cfg = dataclasses.replace(_tiny_cfg(False),
+                                      scan_layers=scan_layers)
+        dec_cfg = dataclasses.replace(_tiny_cfg(True),
+                                      scan_layers=scan_layers)
+        model = StructureDenoiser(enc_cfg, dec_cfg)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not isinstance(v, list)}
+        t = jnp.arange(4, dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), t, jb["ligand_angles"],
+            jb["ligand_attn_mask"], jb["receptor_seq"],
+            jb["receptor_angles"], jb["receptor_attn_mask"])["params"]
+        enc_out = model.apply(
+            {"params": params}, jb["receptor_seq"], jb["receptor_angles"],
+            jb["receptor_attn_mask"], method=model.encode_receptor)
+        base = model.apply(
+            {"params": params}, t, jb["ligand_angles"],
+            jb["ligand_attn_mask"], enc_out, jb["receptor_attn_mask"],
+            method=model.decode)
+        ckv = model.apply({"params": params}, enc_out,
+                          method=model.precompute_cross_kv)
+        cached = model.apply(
+            {"params": params}, t, jb["ligand_angles"],
+            jb["ligand_attn_mask"], enc_out, jb["receptor_attn_mask"],
+            method=model.decode, cross_kv=ckv)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+        # layout contract: per-layer tuple (unrolled) / leading layer axis
+        # (scan) of (B, Lk, heads, head_dim) pairs
+        nh = dec_cfg.num_heads
+        hd = dec_cfg.head_dim
+        if scan_layers:
+            k_all, v_all = ckv
+            assert k_all.shape == (dec_cfg.num_layers, 4,
+                                   enc_out.shape[1], nh, hd)
+        else:
+            assert len(ckv) == dec_cfg.num_layers
+            assert ckv[0][0].shape == (4, enc_out.shape[1], nh, hd)
+
+
+def test_structure_sampler_uses_cached_kv_same_result():
+    """make_structure_sampler's output is invariant to the kv-cache
+    optimization: a hand-rolled uncached reverse loop with the same keys
+    produces the same final sample. (T=1 — jit-vs-eager fusion
+    differences amplify ~1e-4 per extra step through the chaotic reverse
+    iteration even WITHOUT the cache; the per-step MATH is pinned
+    bit-identical by test_cross_kv_cache_bit_identical, this test pins
+    the sampler WIRING.)"""
+    from e3diff_tpu.diffusion.gaussian import sample_wrapped_noise
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+
+    ds = _dataset(4)
+    model, params = _structure_model_and_params(ds)
+    diff = GaussianAngleDiffusion.cosine(1)
+    batch = next(ds.batches(4))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not isinstance(v, list)}
+
+    run = make_structure_sampler(model, diff, return_trajectory=False)
+    final, _ = run(params, jb, jax.random.PRNGKey(7))
+
+    key_init, key_loop = jax.random.split(jax.random.PRNGKey(7))
+    x_init = sample_wrapped_noise(key_init, jb["ligand_angles"].shape,
+                                  jb["ligand_angles"].dtype)
+    enc_out = model.apply(
+        {"params": params}, jb["receptor_seq"], jb["receptor_angles"],
+        jb["receptor_attn_mask"], method=model.encode_receptor)
+
+    def denoise_uncached(t_vec, x):
+        return model.apply(
+            {"params": params}, t_vec, x, jb["ligand_attn_mask"],
+            enc_out, jb["receptor_attn_mask"], method=model.decode)
+
+    ref, _ = diff.sample_loop(denoise_uncached, key_loop, x_init,
+                              return_trajectory=False)
+    # atol: the T=1 DDPM step divides by sqrt(alpha_0) with the clipped
+    # beta=0.9999, amplifying benign jit-vs-eager fusion diffs (~1e-6 per
+    # forward) by ~100x; a real wiring bug (wrong mask/cache) would be O(1)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(ref),
+                               atol=2e-3)
