@@ -343,9 +343,11 @@ class TransformerStack(nn.Module):
                     None, True)
                 for i in range(cfg.num_layers))
         for i in range(cfg.num_layers):
+            # kv_only passed positionally so the arity matches
+            # static_argnums under nn.remat (flax offsets by +1 for self).
             x = layer_cls(cfg, name=f"layer_{i}")(
                 x, extended_mask, enc_out, enc_mask, deterministic,
-                None if cross_kv is None else cross_kv[i])
+                None if cross_kv is None else cross_kv[i], False)
         return x
 
 

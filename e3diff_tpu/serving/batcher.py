@@ -29,12 +29,18 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch: Callable, max_batch: int = 64,
-                 max_wait_ms: float = 25.0):
+                 max_wait_ms: float = 25.0, linger_ms: float = 2.0):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._run_batch = run_batch
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1000.0
+        # adaptive dispatch: after the first request, each FURTHER slot is
+        # awaited for at most linger_ms — a burst arriving back-to-back
+        # keeps extending the batch (up to max_wait total), while a lone
+        # request dispatches after one linger instead of sleeping the
+        # whole window (round-3 unloaded latency was one full window)
+        self._linger_s = min(linger_ms, max_wait_ms) / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -81,13 +87,19 @@ class MicroBatcher:
             out["batched_slots"] / out["batches"] if out["batches"] else 0.0)
         if lats:
             out["latency_ms_p50"] = 1e3 * lats[len(lats) // 2]
-            out["latency_ms_p95"] = 1e3 * lats[int(len(lats) * 0.95)]
+            out["latency_ms_p95"] = 1e3 * lats[min(int(len(lats) * 0.95),
+                                                   len(lats) - 1)]
+            out["latency_ms_p99"] = 1e3 * lats[min(int(len(lats) * 0.99),
+                                                   len(lats) - 1)]
         return out
 
     # ------------------------------------------------------------------
     def _collect(self) -> list:
-        """Block for the first request, then coalesce until the batch is
-        full or max_wait elapses."""
+        """Block for the first request, then coalesce while requests keep
+        arriving within ``linger`` of each other, up to a full batch or
+        ``max_wait`` total (whichever first). An idle gap > linger
+        dispatches immediately — unloaded latency pays one linger, not
+        the whole window."""
         try:
             first = self._queue.get(timeout=0.05)
         except queue.Empty:
@@ -99,7 +111,8 @@ class MicroBatcher:
             if remaining <= 0:
                 break
             try:
-                items.append(self._queue.get(timeout=remaining))
+                items.append(
+                    self._queue.get(timeout=min(remaining, self._linger_s)))
             except queue.Empty:
                 break
         return items

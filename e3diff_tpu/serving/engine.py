@@ -113,7 +113,9 @@ class DesignEngine:
                  guidance_scale: float = 1.0,
                  seq_guidance_scale: float = 1.0,
                  enable_cfg: bool = False,
-                 ligand_buckets: Sequence[int] | None = None, mesh=None):
+                 ligand_buckets: Sequence[int] | None = None,
+                 receptor_buckets: Sequence[int] | None = None,
+                 batch_buckets: Sequence[int] | None = None, mesh=None):
         from e3diff_tpu.sampling.sequence import make_sequence_sampler
         from e3diff_tpu.sampling.structure import make_structure_sampler
 
@@ -133,6 +135,32 @@ class DesignEngine:
                     f"ligand bucket {b} outside [1, max_seq_len="
                     f"{cfg.max_seq_len}]")
         self.ligand_buckets = buckets
+        # receptor-length buckets mirror the ligand ones (the reference's
+        # own 64/128 max_len rule, structure_model/train_model.py:17,21):
+        # requests route to the smallest compiled receptor shape that
+        # fits their extended pocket, so short pockets skip the full
+        # max_seq_len attention cost
+        rbuckets = sorted(set(int(b) for b in (receptor_buckets or
+                                               [cfg.max_seq_len])))
+        for b in rbuckets:
+            if not 1 <= b <= cfg.max_seq_len:
+                raise ValueError(
+                    f"receptor bucket {b} outside [1, max_seq_len="
+                    f"{cfg.max_seq_len}]")
+        self.receptor_buckets = rbuckets
+        # batch-size buckets: a partial batch pads only to the smallest
+        # compiled batch shape that fits it, so a lone request pays a
+        # B=8-sized device run instead of the full B=64 one (the jitted
+        # samplers compile per shape; warmup pre-pays every bucket).
+        # The largest bucket is always batch_size (the chunking limit).
+        bbuckets = sorted(set(int(b) for b in (batch_buckets or [])) |
+                          {batch_size})
+        for b in bbuckets:
+            if not 1 <= b <= batch_size:
+                raise ValueError(
+                    f"batch bucket {b} outside [1, batch_size="
+                    f"{batch_size}]")
+        self.batch_buckets = bbuckets
         self.structure_model = structure_model
         self.structure_params = structure_params
         self.sequence_model = sequence_model
@@ -148,10 +176,11 @@ class DesignEngine:
             from e3diff_tpu.parallel import batch_sharding, shard_params
 
             dp = mesh.shape.get("dp", 1)
-            if batch_size % dp:
-                raise ValueError(
-                    f"batch_size {batch_size} must be divisible by the "
-                    f"mesh's dp extent {dp} (fixed serving shapes)")
+            for b in self.batch_buckets:
+                if b % dp:
+                    raise ValueError(
+                        f"batch bucket {b} must be divisible by the "
+                        f"mesh's dp extent {dp} (fixed serving shapes)")
             self.structure_params = shard_params(structure_params, mesh)
             self.sequence_params = shard_params(sequence_params, mesh)
             self._batch_sharding = batch_sharding(mesh)
@@ -212,6 +241,12 @@ class DesignEngine:
         )
 
         transition = kwargs.pop("transition", "uniform")
+        # bf16 parameter storage halves the samplers' HBM weight stream
+        # (the steps are bandwidth-bound); quality pinned in
+        # tests/test_serving.py and BENCHMARKS.md
+        params_dtype = kwargs.pop("params_dtype", None)
+        if params_dtype == "f32":
+            params_dtype = None
         batch_size = kwargs.get("batch_size", 64)
 
         sside = load_ckpt_config(structure_ckpt) or {}
@@ -240,8 +275,10 @@ class DesignEngine:
 
         rng = jax.random.PRNGKey(cfg.seed)
         shapes = _batch_shapes(cfg, batch_size)
-        sparams = load_structure_params(structure_ckpt, smodel, shapes, rng)
-        qparams = load_sequence_params(sequence_ckpt, qmodel, shapes, rng)
+        sparams = load_structure_params(structure_ckpt, smodel, shapes, rng,
+                                        params_dtype=params_dtype)
+        qparams = load_sequence_params(sequence_ckpt, qmodel, shapes, rng,
+                                       params_dtype=params_dtype)
         return cls(cfg, smodel, sparams, sdiff, qmodel, qparams, d3pm,
                    **kwargs)
 
@@ -256,6 +293,16 @@ class DesignEngine:
             f"request does not fit the serving shapes: peptide length "
             f"{n} exceeds the largest ligand bucket "
             f"({self.ligand_buckets[-1]} residues)")
+
+    def _pick_receptor_bucket(self, rec_len: int) -> int:
+        """Smallest receptor bucket that fits the extended pocket."""
+        for b in self.receptor_buckets:
+            if rec_len <= b:
+                return b
+        raise ValueError(
+            f"request does not fit the serving shapes: extended pocket "
+            f"length {rec_len} exceeds the largest receptor bucket "
+            f"({self.receptor_buckets[-1]} residues)")
 
     def _slot_scale(self, value, default: float, guided: bool,
                     name: str) -> float:
@@ -293,8 +340,14 @@ class DesignEngine:
                 f"request does not fit the serving shapes (receptor "
                 f"<= {self.cfg.max_seq_len} residues): {exc}") from exc
         slot = ds[0]
+        # receptor bucket routing: padding is a zero tail, so slicing the
+        # receptor arrays to the bucket keeps every valid residue
+        rbucket = self._pick_receptor_bucket(int(slot["receptor_length"]))
+        for k in ("receptor_angles", "receptor_attn_mask", "receptor_seq"):
+            slot[k] = slot[k][:rbucket]
         slot["_synthetic_ligand"] = bool(record.get("synthetic_ligand"))
         slot["_bucket"] = bucket
+        slot["_rbucket"] = rbucket
         slot["_guidance_scale"] = self._slot_scale(
             guidance_scale, self.guidance_scale, self._struct_guided,
             "guidance_scale")
@@ -304,12 +357,18 @@ class DesignEngine:
         return slot
 
     def warmup(self, key=None) -> None:
-        """Compile the sampler programs for EVERY ligand bucket on dummy
-        batches (30-340 s per cold program through a tunneled TPU — pay
-        it at startup, not on request #1)."""
-        for b in self.ligand_buckets:
-            rec = pocket_record("ACD", np.zeros((3, 8), np.float32), b)
-            self.design_records([rec], key=key, return_pdb=False)
+        """Compile the sampler programs for EVERY (ligand, receptor,
+        batch) bucket combination on dummy batches (30-340 s per cold
+        program through a tunneled TPU — pay it at startup, not on
+        request #1)."""
+        for rb in self.receptor_buckets:
+            for b in self.ligand_buckets:
+                # a pocket of exactly rb residues routes to bucket rb
+                rec = pocket_record("A" * rb,
+                                    np.zeros((rb, 8), np.float32), b)
+                for bb in self.batch_buckets:
+                    self.design_records([rec] * bb, key=key,
+                                        return_pdb=False)
         self._warm = True
 
     @property
@@ -356,24 +415,34 @@ class DesignEngine:
                 results[i] = r
         return results
 
-    def _scale_kwargs(self, chunk, guided: bool, slot_key: str,
-                      default: float) -> dict:
-        """Per-slot guidance scales as a full-batch (B,) vector kwarg for
-        a guided sampler ({} for plain samplers — their programs take no
-        scale). Pad slots get the default (their masks are all-zero)."""
+    def _pick_batch_bucket(self, n: int) -> int:
+        """Smallest compiled batch shape that fits n slots."""
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]  # unreachable: chunks <= batch_size
+
+    def _scale_kwargs(self, chunk, batch_n: int, guided: bool,
+                      slot_key: str, default: float) -> dict:
+        """Per-slot guidance scales as a batch-shaped (B,) vector kwarg
+        for a guided sampler ({} for plain samplers — their programs take
+        no scale). Pad slots get the default (their masks are all-zero)."""
         if not guided:
             return {}
-        w = np.full(self.batch_size, default, np.float32)
+        w = np.full(batch_n, default, np.float32)
         w[:len(chunk)] = [s.get(slot_key, default) for s in chunk]
         return {"scale": w}
 
     def _bucket_groups(self, slots) -> list[list[int]]:
-        """Slot indices grouped by ligand bucket, ascending bucket order
-        (deterministic; each group batches together)."""
-        groups: dict[int, list[int]] = {}
-        default = self.ligand_buckets[-1]
+        """Slot indices grouped by (ligand, receptor) bucket pair,
+        ascending (deterministic; each group batches together on its own
+        compiled shape)."""
+        groups: dict[tuple[int, int], list[int]] = {}
+        default = (self.ligand_buckets[-1], self.receptor_buckets[-1])
         for i, s in enumerate(slots):
-            groups.setdefault(int(s.get("_bucket", default)), []).append(i)
+            key = (int(s.get("_bucket", default[0])),
+                   int(s.get("_rbucket", default[1])))
+            groups.setdefault(key, []).append(i)
         return [groups[b] for b in sorted(groups)]
 
     def _design_bucket(self, slots, return_pdb, key) -> list[DesignResult]:
@@ -389,14 +458,15 @@ class DesignEngine:
             want_pdb = return_pdb[start:start + self.batch_size]
             n_valid = len(chunk)
             batch = self._stack_slots(chunk, feat_keys)
+            bsz = len(batch["ligand_attn_mask"])
 
             key, k_struct, k_seq = jax.random.split(key, 3)
             jbatch = self._to_device(batch)
             struct_kw = self._scale_kwargs(
-                chunk, self._struct_guided, "_guidance_scale",
+                chunk, bsz, self._struct_guided, "_guidance_scale",
                 self.guidance_scale)
             seq_kw = self._scale_kwargs(
-                chunk, self._seq_guided, "_seq_guidance_scale",
+                chunk, bsz, self._seq_guided, "_seq_guidance_scale",
                 self.seq_guidance_scale)
             with self._device_lock:
                 angles_final, _ = self._struct_run(
@@ -450,14 +520,17 @@ class DesignEngine:
         return {k: jnp.asarray(v) for k, v in sel.items()}
 
     def _stack_slots(self, chunk, feat_keys) -> dict:
-        """Stack per-slot features into one fixed (batch_size, ...) batch
-        (zero-padding the tail; dead slots carry all-zero attn masks)."""
+        """Stack per-slot features into the smallest compiled batch shape
+        that fits (zero-padding the tail; dead slots carry all-zero attn
+        masks). With batch_buckets a lone request pays a small device
+        run, not the full batch_size one."""
+        bucket = self._pick_batch_bucket(len(chunk))
         batch = {}
         for k in feat_keys:
             stacked = np.stack([s[k] for s in chunk])
-            if len(chunk) < self.batch_size:
+            if len(chunk) < bucket:
                 pad = np.zeros(
-                    (self.batch_size - len(chunk),) + stacked.shape[1:],
+                    (bucket - len(chunk),) + stacked.shape[1:],
                     stacked.dtype)
                 stacked = np.concatenate([stacked, pad])
             batch[k] = stacked
@@ -499,8 +572,8 @@ class DesignEngine:
             key, k_seq = jax.random.split(key)
             jbatch = self._to_device(batch)
             seq_kw = self._scale_kwargs(
-                chunk, self._seq_guided, "_seq_guidance_scale",
-                self.seq_guidance_scale)
+                chunk, len(batch["ligand_attn_mask"]), self._seq_guided,
+                "_seq_guidance_scale", self.seq_guidance_scale)
             with self._device_lock:
                 logits = self._seq_run(self.sequence_params, jbatch, k_seq,
                                        **seq_kw)

@@ -69,6 +69,7 @@ class DesignServer:
 
     def __init__(self, engine: DesignEngine, host: str = "127.0.0.1",
                  port: int = 0, max_wait_ms: float = 25.0,
+                 linger_ms: float = 2.0,
                  request_timeout_s: float = 600.0):
         self.engine = engine
         self.request_timeout_s = request_timeout_s
@@ -80,13 +81,15 @@ class DesignServer:
             lambda items: engine.design_slots(
                 [s for s, _ in items],
                 return_pdb=[w for _, w in items]),
-            max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
+            max_batch=engine.batch_size, max_wait_ms=max_wait_ms,
+            linger_ms=linger_ms)
         # inverse folding runs a different device program (sequence
         # sampler only), so it coalesces in its own queue; the engine's
         # device lock serializes the two programs on the chip
         self.if_batcher = MicroBatcher(
             engine.inverse_fold_slots,
-            max_batch=engine.batch_size, max_wait_ms=max_wait_ms)
+            max_batch=engine.batch_size, max_wait_ms=max_wait_ms,
+            linger_ms=linger_ms)
         self._httpd = _HTTPServer((host, port), self._make_handler())
         self._thread: threading.Thread | None = None
 
@@ -199,6 +202,8 @@ class DesignServer:
                         "experiment": dc.asdict(eng.cfg),
                         "batch_size": eng.batch_size,
                         "ligand_buckets": eng.ligand_buckets,
+                        "receptor_buckets": eng.receptor_buckets,
+                        "batch_buckets": eng.batch_buckets,
                         "guidance_scale": eng.guidance_scale,
                         "seq_guidance_scale": eng.seq_guidance_scale,
                         "cfg_enabled": {"structure": eng._struct_guided,

@@ -14,6 +14,34 @@ from __future__ import annotations
 import os
 
 
+def cast_inference_params(params, dtype):
+    """Cast floating-point parameter leaves to ``dtype`` for inference.
+
+    The sampler/serving steps are HBM-bandwidth-bound (BENCHMARKS.md
+    roofline: ~80% of the v5e HBM peak) and re-read the full parameter
+    set every diffusion step — storing the 146M-param structure model in
+    bfloat16 halves the dominant weight byte-stream. Training params stay
+    f32 (the optimizer contract is untouched; this is a load-time cast on
+    the inference paths only). ``dtype`` may be a jnp dtype or the
+    strings "f32"/"float32"/"bf16"/"bfloat16"; None is a no-op.
+    Non-float leaves (none exist today) pass through unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        return params
+    if isinstance(dtype, str):
+        dtype = {"f32": jnp.float32, "float32": jnp.float32,
+                 "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}[dtype]
+
+    def cast(x):
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+            else x
+
+    return jax.tree.map(cast, params)
+
+
 def _restore_orbax(ckpt_path: str, abstract_params):
     from e3diff_tpu.training.checkpoint import CheckpointManager
 
@@ -26,8 +54,10 @@ def _restore_orbax(ckpt_path: str, abstract_params):
     return restored["params"]
 
 
-def load_structure_params(ckpt_path: str, model, sample_batch, rng):
-    """Restore structure-denoiser params from orbax or a torch .pt."""
+def load_structure_params(ckpt_path: str, model, sample_batch, rng,
+                          params_dtype=None):
+    """Restore structure-denoiser params from orbax or a torch .pt.
+    params_dtype: optional load-time cast (see cast_inference_params)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +75,8 @@ def load_structure_params(ckpt_path: str, model, sample_batch, rng):
             from e3diff_tpu.models.restack import params_to_scan
 
             params = params_to_scan(params)
-        return jax.tree.map(jnp.asarray, params)
+        return cast_inference_params(jax.tree.map(jnp.asarray, params),
+                                     params_dtype)
 
     b = sample_batch["ligand_angles"].shape[0]
     abstract = jax.eval_shape(
@@ -55,11 +86,14 @@ def load_structure_params(ckpt_path: str, model, sample_batch, rng):
         jnp.asarray(sample_batch["receptor_seq"]),
         jnp.asarray(sample_batch["receptor_angles"]),
         jnp.asarray(sample_batch["receptor_attn_mask"]))["params"]
-    return _restore_orbax(ckpt_path, abstract)
+    return cast_inference_params(_restore_orbax(ckpt_path, abstract),
+                                 params_dtype)
 
 
-def load_sequence_params(ckpt_path: str, model, sample_batch, rng):
-    """Restore sequence-denoiser params from orbax or a torch .pt."""
+def load_sequence_params(ckpt_path: str, model, sample_batch, rng,
+                         params_dtype=None):
+    """Restore sequence-denoiser params from orbax or a torch .pt.
+    params_dtype: optional load-time cast (see cast_inference_params)."""
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +110,8 @@ def load_sequence_params(ckpt_path: str, model, sample_batch, rng):
             from e3diff_tpu.models.restack import params_to_scan
 
             params = params_to_scan(params)
-        return jax.tree.map(jnp.asarray, params)
+        return cast_inference_params(jax.tree.map(jnp.asarray, params),
+                                     params_dtype)
 
     b = sample_batch["ligand_seq"].shape[0]
     abstract = jax.eval_shape(
@@ -87,4 +122,5 @@ def load_sequence_params(ckpt_path: str, model, sample_batch, rng):
         jnp.asarray(sample_batch["receptor_seq"]),
         jnp.asarray(sample_batch["receptor_angles"]),
         jnp.asarray(sample_batch["receptor_attn_mask"]))["params"]
-    return _restore_orbax(ckpt_path, abstract)
+    return cast_inference_params(_restore_orbax(ckpt_path, abstract),
+                                 params_dtype)

@@ -78,9 +78,17 @@ def main():
     ap.add_argument("--ddim_steps", type=int, default=50)
     ap.add_argument("--seq_steps", type=int, default=None,
                     help="D3PM skip steps (None = all T)")
-    ap.add_argument("--out", default="experiments/r3_results.jsonl")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "r3_results.jsonl"))
+    ap.add_argument("--params_dtype", choices=["f32", "bf16"],
+                    default="f32",
+                    help="inference parameter storage dtype (the r4 "
+                         "quality pin for --params_dtype bf16)")
+    ap.add_argument("--tag", default="r3_cfg",
+                    help="exp-name prefix in the results jsonl")
     args = ap.parse_args()
     scales = [float(s) for s in args.scales.split(",")]
+    pdt = None if args.params_dtype == "f32" else args.params_dtype
 
     compile_cache.enable_persistent_compilation_cache()
     import jax
@@ -107,7 +115,7 @@ def main():
         rng = jax.random.PRNGKey(cfg.seed)
         params = load_structure_params(
             args.structure_ckpt, model, next(ds.batches(cfg.batch_size)),
-            rng)
+            rng, params_dtype=pdt)
 
         # ground truth per complex (unpadded lengths via attn mask)
         true_angles, true_helix = [], []
@@ -131,9 +139,23 @@ def main():
             flat = np.concatenate(samples, 0)
             tv = histogram_distance(true_flat, flat)
             r = float(np.corrcoef(true_helix, helix)[0, 1])
-            rec = {"exp": "r3_cfg_structure", "scale": w,
+            # bimodal-corpus class metric: each complex is helix-rich or
+            # strand-rich (couple_mode=bimodal); the sampler's per-complex
+            # class call vs the true ligand's — a far less noisy
+            # conditional-signal readout than helix_corr on 5-14-residue
+            # peptides (threshold = midpoint of the true class means)
+            th = np.asarray(true_helix)
+            thr = (th[th >= np.median(th)].mean()
+                   + th[th < np.median(th)].mean()) / 2.0
+            pred_cls = np.asarray(helix) > thr
+            true_cls = th > thr
+            cls_acc = float((pred_cls == true_cls).mean())
+            rec = {"exp": f"{args.tag}_structure", "scale": w,
                    "n_test": len(samples),
+                   "params_dtype": args.params_dtype,
                    "helix_corr": round(r, 4),
+                   "class_acc": round(cls_acc, 4),
+                   "class_threshold": round(float(thr), 4),
                    "helix_frac_mean": round(float(np.mean(helix)), 4),
                    "helix_frac_true_mean":
                        round(float(np.mean(true_helix)), 4),
@@ -154,7 +176,7 @@ def main():
         rng = jax.random.PRNGKey(cfg.seed)
         params = load_sequence_params(
             args.sequence_ckpt, model, next(ds.batches(cfg.batch_size)),
-            rng)
+            rng, params_dtype=pdt)
 
         for w in scales:
             t0 = time.time()
@@ -162,8 +184,9 @@ def main():
                 params, model, d3pm, ds.batches(cfg.batch_size),
                 jax.random.PRNGKey(1234), diverse=True,
                 n_steps=args.seq_steps, guidance_scale=w)
-            rec = {"exp": "r3_cfg_sequence", "scale": w,
+            rec = {"exp": f"{args.tag}_sequence", "scale": w,
                    "n_test": len(out["recovery_rate"]),
+                   "params_dtype": args.params_dtype,
                    "recovery_mean":
                        round(float(np.mean(out["recovery_rate"])), 4),
                    "wall_s": round(time.time() - t0, 1)}

@@ -35,7 +35,8 @@ from e3diff_tpu.sampling.structure import make_structure_sampler
 from e3diff_tpu.diffusion.gaussian import sample_wrapped_noise
 
 L_REC, L_LIG, T = 64, 16, 1000
-OUT = "experiments/r3_results.jsonl"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "r3_results.jsonl")
 
 
 def make_batch(b):

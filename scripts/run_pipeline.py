@@ -41,6 +41,10 @@ def main():
                         help="CFG scale for the inverse-folding sampler")
     parser.add_argument("--sequence_timesteps", type=int, default=50)
     parser.add_argument("--sequence_layers", type=int, default=6)
+    parser.add_argument("--params_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="load-time parameter storage dtype for both "
+                             "models (bf16 halves the HBM weight stream)")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
@@ -100,8 +104,11 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.seed)
     batch0 = next(test_ds.batches(cfg.batch_size))
-    sparams = load_struct_params(args.structure_ckpt, smodel, batch0, rng)
-    qparams = load_seq_params(args.sequence_ckpt, qmodel, batch0, rng)
+    pdt = args.params_dtype if args.params_dtype != "f32" else None
+    sparams = load_struct_params(args.structure_ckpt, smodel, batch0, rng,
+                                 params_dtype=pdt)
+    qparams = load_seq_params(args.sequence_ckpt, qmodel, batch0, rng,
+                              params_dtype=pdt)
 
     results = run_pipeline(
         sparams, smodel, qparams, qmodel, test_ds, rng,

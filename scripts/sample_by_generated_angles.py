@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--output",
                         default="./data/from_generated_angles/output.pkl")
     parser.add_argument("--greedy", action="store_true")
+    parser.add_argument("--params_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="load-time parameter storage dtype (bf16 "
+                             "halves the HBM weight stream)")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, sequence_sample_config())
     args = parser.parse_args()
@@ -87,7 +91,9 @@ def main():
     model = build_sequence_model(cfg)
     d3pm = build_sequence_diffusion(cfg, transition="uniform")
     rng = jax.random.PRNGKey(cfg.seed)
-    params = load_params(args.ckpt, model, batches[0], rng)
+    params = load_params(args.ckpt, model, batches[0], rng,
+                         params_dtype=args.params_dtype
+                         if args.params_dtype != "f32" else None)
 
     results = sample_sequence_batches(
         params, model, d3pm, batches, rng,

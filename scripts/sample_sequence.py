@@ -21,10 +21,12 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 )
 
 
-def load_params(ckpt_path: str, model, sample_batch, rng):
+def load_params(ckpt_path: str, model, sample_batch, rng,
+                params_dtype=None):
     from e3diff_tpu.utils.params_io import load_sequence_params
 
-    return load_sequence_params(ckpt_path, model, sample_batch, rng)
+    return load_sequence_params(ckpt_path, model, sample_batch, rng,
+                                params_dtype=params_dtype)
 
 
 def main():
@@ -45,6 +47,11 @@ def main():
                         help="classifier-free guidance scale on the "
                              "logits (1 = off; needs a --cond_dropout-"
                              "trained checkpoint)")
+    parser.add_argument("--params_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="load-time parameter storage dtype (bf16 "
+                             "halves the HBM weight stream; inference "
+                             "only)")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, sequence_sample_config())
     args = parser.parse_args()
@@ -75,7 +82,9 @@ def main():
     d3pm = build_sequence_diffusion(cfg, transition=args.transition)
     rng = jax.random.PRNGKey(cfg.seed)
     sample_batch = next(test_ds.batches(cfg.batch_size))
-    params = load_params(args.ckpt, model, sample_batch, rng)
+    params = load_params(args.ckpt, model, sample_batch, rng,
+                         params_dtype=args.params_dtype
+                         if args.params_dtype != "f32" else None)
 
     results = sample_sequence_batches(
         params, model, d3pm, test_ds.batches(cfg.batch_size), rng,

@@ -22,12 +22,14 @@ from e3diff_tpu.utils.presets import (  # noqa: E402
 )
 
 
-def load_params(ckpt_path: str, model, sample_batch, rng):
+def load_params(ckpt_path: str, model, sample_batch, rng,
+                params_dtype=None):
     """Restore params from an orbax checkpoint dir ('final' or train-state),
     or convert a torch state_dict (.pt) via the porting utilities."""
     from e3diff_tpu.utils.params_io import load_structure_params
 
-    return load_structure_params(ckpt_path, model, sample_batch, rng)
+    return load_structure_params(ckpt_path, model, sample_batch, rng,
+                                 params_dtype=params_dtype)
 
 
 def main():
@@ -60,6 +62,12 @@ def main():
                         help="store/pull the trajectory in bfloat16 (halves "
                              "the device->host transfer, which exceeds the "
                              "sampling compute itself on tunneled TPUs)")
+    parser.add_argument("--params_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="load-time parameter storage dtype. bf16 "
+                             "halves the sampler's dominant HBM weight "
+                             "stream (the step is bandwidth-bound, "
+                             "BENCHMARKS.md); training params stay f32")
     parser.add_argument("--synthetic", action="store_true")
     add_config_flags(parser, structure_sample_config())
     args = parser.parse_args()
@@ -89,7 +97,9 @@ def main():
     diffusion = build_structure_diffusion(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     sample_batch = next(test_ds.batches(cfg.batch_size))
-    params = load_params(args.ckpt, model, sample_batch, rng)
+    params = load_params(args.ckpt, model, sample_batch, rng,
+                         params_dtype=args.params_dtype
+                         if args.params_dtype != "f32" else None)
 
     import jax.numpy as jnp
 

@@ -37,9 +37,12 @@ def main():
                              "1000-step loop at 20-40x fewer forwards")
     parser.add_argument("--ddim_steps", type=int, default=25)
     parser.add_argument("--ddim_eta", type=float, default=1.0)
-    parser.add_argument("--seq_skip_steps", type=int, default=None,
+    parser.add_argument("--seq_skip_steps", type=int, default=25,
                         help="D3PM skip-step ladder for inverse folding "
-                             "(None = full T-step loop)")
+                             "(default 25: recovery parity with the full "
+                             "loop at half the forwards, quality pinned "
+                             "by tests/test_sampler_quality.py; 0 = full "
+                             "T-step loop)")
     parser.add_argument("--transition", choices=["uniform", "blosum"],
                         default="uniform",
                         help="the reference's end-to-end pipeline pairs "
@@ -64,9 +67,35 @@ def main():
                              "(B,) vector: mixed scales batch together "
                              "with no recompiles; costs the 2B guided "
                              "forward even for w=1 requests)")
+    parser.add_argument("--params_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="load-time parameter storage dtype for both "
+                             "models (bf16 halves the samplers' HBM "
+                             "weight stream; quality pinned in "
+                             "BENCHMARKS.md)")
     parser.add_argument("--max_wait_ms", type=float, default=25.0,
-                        help="micro-batching window after the first "
+                        help="micro-batching window cap after the first "
                              "request of a batch")
+    parser.add_argument("--linger_ms", type=float, default=2.0,
+                        help="per-slot arrival gap that keeps a batch "
+                             "collecting (bursts coalesce; a lone "
+                             "request dispatches after one linger "
+                             "instead of the whole window)")
+    parser.add_argument("--batch_buckets", default=None,
+                        help="comma-separated batch-size buckets (e.g. "
+                             "'8,64'): a partial micro-batch pads only "
+                             "to the smallest compiled batch shape that "
+                             "fits it, so a lone request pays a small "
+                             "device run (unloaded latency) while full "
+                             "batches keep peak throughput. Default: "
+                             "one shape at serve_batch_size")
+    parser.add_argument("--receptor_buckets", default=None,
+                        help="comma-separated receptor padding buckets "
+                             "(e.g. '64,128'): each request routes to "
+                             "the smallest compiled receptor shape that "
+                             "fits its extended pocket, so short pockets "
+                             "skip the full max_seq_len cost. Default: "
+                             "one bucket at the checkpoint's max_seq_len")
     parser.add_argument("--dp", type=int, default=None,
                         help="serve over a device mesh: data-parallel "
                              "extent (default: all devices when >1 are "
@@ -113,13 +142,20 @@ def main():
         guidance_scale=args.guidance_scale,
         seq_guidance_scale=args.seq_guidance_scale,
         enable_cfg=args.enable_cfg,
+        params_dtype=args.params_dtype,
         ligand_buckets=([int(b) for b in args.ligand_buckets.split(",")]
                         if args.ligand_buckets else None),
+        receptor_buckets=([int(b) for b in
+                           args.receptor_buckets.split(",")]
+                          if args.receptor_buckets else None),
+        batch_buckets=([int(b) for b in args.batch_buckets.split(",")]
+                       if args.batch_buckets else None),
         mesh=mesh)
     print("compiling samplers (warmup) ...")
     engine.warmup()
     server = DesignServer(engine, host=args.host, port=args.port,
-                          max_wait_ms=args.max_wait_ms)
+                          max_wait_ms=args.max_wait_ms,
+                          linger_ms=args.linger_ms)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(POST /design, GET /healthz, GET /stats)")
     try:

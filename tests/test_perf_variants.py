@@ -71,6 +71,39 @@ def test_remat_matches_baseline_forward_and_grad():
                                        atol=1e-5, rtol=1e-4)
 
 
+def test_remat_with_cross_kv_cache_matches_baseline():
+    """Round-3 regression: static_argnums under nn.remat must stay in
+    sync with the call arity after the cross_kv/kv_only args landed —
+    every remat x {unrolled, scan} x {cross_kv None, populated} combo
+    must trace and match the baseline forward."""
+    from e3diff_tpu.models.restack import params_to_scan
+
+    x, ext, mem, mem_ext = _stack_inputs(seed=7)
+    base = TransformerStack(_cfg(cross=True))
+    params = base.init(jax.random.PRNGKey(7), x, ext, mem, mem_ext)["params"]
+    want = np.asarray(base.apply({"params": params}, x, ext, mem, mem_ext,
+                                 deterministic=True))
+    sparams = params_to_scan(params)
+
+    for policy in ["layer", "dots"]:
+        for scan in [False, True]:
+            stack = TransformerStack(_cfg(cross=True, remat=policy,
+                                          scan_layers=scan))
+            p = sparams if scan else params
+            got = stack.apply({"params": p}, x, ext, mem, mem_ext,
+                              deterministic=True)
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"{policy} scan={scan}")
+            kv = stack.apply({"params": p}, x, ext, mem, mem_ext,
+                             deterministic=True, kv_only=True)
+            got = stack.apply({"params": p}, x, ext, None, mem_ext,
+                              deterministic=True, cross_kv=kv)
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"{policy} scan={scan} kv")
+
+
 def test_scan_layers_matches_unrolled():
     """scan_layers=True with restacked params reproduces the unrolled stack
     (forward and gradients), and params_from_scan inverts params_to_scan."""

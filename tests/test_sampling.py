@@ -407,3 +407,46 @@ def test_structure_sampler_uses_cached_kv_same_result():
     # forward) by ~100x; a real wiring bug (wrong mask/cache) would be O(1)
     np.testing.assert_allclose(np.asarray(final), np.asarray(ref),
                                atol=2e-3)
+
+
+def test_params_dtype_cast_and_sampler_quality():
+    """cast_inference_params semantics + bf16-param sampling stays close
+    to f32-param sampling (the --params_dtype bf16 inference fast path)."""
+    from e3diff_tpu.utils.params_io import cast_inference_params
+
+    ds = _dataset(4)
+    model, params = _structure_model_and_params(ds)
+
+    bf16 = cast_inference_params(params, "bf16")
+    leaves = jax.tree.leaves(bf16)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves)
+    # round-trip no-ops
+    assert cast_inference_params(params, None) is params
+    back = cast_inference_params(bf16, "f32")
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(back))
+
+    # the reverse loop is chaotic (noise re-injection makes pointwise
+    # trajectories diverge under ANY weight perturbation), so the
+    # numerical pin is on a single denoiser forward: bf16 weight
+    # rounding is ~0.4% relative per layer, so outputs stay close;
+    # distribution-level sampling quality is pinned on hardware
+    # (BENCHMARKS.md "bf16 parameter storage").
+    batch = next(ds.batches(4))
+    args = (jnp.zeros((4,), jnp.int32),
+            jnp.asarray(batch["ligand_angles"]),
+            jnp.asarray(batch["ligand_attn_mask"]),
+            jnp.asarray(batch["receptor_seq"]),
+            jnp.asarray(batch["receptor_angles"]),
+            jnp.asarray(batch["receptor_attn_mask"]))
+    want = np.asarray(model.apply({"params": params}, *args,
+                                  deterministic=True), np.float32)
+    got = np.asarray(model.apply({"params": bf16}, *args,
+                                 deterministic=True), np.float32)
+    err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert err < 0.05, err
+    # and the sampler runs end-to-end with bf16 params (wiring check)
+    diff = GaussianAngleDiffusion.cosine(4)
+    out = sample_structure_batches(
+        bf16, model, diff, iter([batch]), jax.random.PRNGKey(9),
+        return_trajectory=False)
+    assert len(out) == 4 and np.all(np.isfinite(np.asarray(out[0])))

@@ -531,6 +531,127 @@ def test_multi_bucket_warmup_and_inverse_fold():
         assert r.recovery_rate is not None
 
 
+def test_receptor_bucket_routing():
+    """Receptor-length buckets mirror the ligand ones: requests route to
+    the smallest compiled receptor shape that fits the extended pocket,
+    mixed (lig, rec) groups preserve input order, and oversized pockets
+    are request errors."""
+    eng = _tiny_engine(batch_size=4, ligand_buckets=[8, 16],
+                       receptor_buckets=[8, MAXLEN])
+    assert eng.receptor_buckets == [8, MAXLEN]
+
+    small = _pocket(6, 5, seed=0)      # pocket 6 -> rec bucket 8
+    big = _pocket(12, 5, seed=1)       # pocket 12 -> rec bucket MAXLEN
+    s_small = eng.featurize(small)
+    s_big = eng.featurize(big)
+    assert s_small["_rbucket"] == 8 and s_big["_rbucket"] == MAXLEN
+    assert s_small["receptor_attn_mask"].shape == (8,)
+    assert s_big["receptor_attn_mask"].shape == (MAXLEN,)
+    assert s_small["receptor_attn_mask"].sum() == 6
+    # the slice keeps every valid residue's features
+    np.testing.assert_allclose(
+        s_small["receptor_angles"][:6],
+        np.asarray(small["angle_features"][:6]), rtol=1e-6)
+
+    res = eng.design_slots([s_big, s_small, s_big],
+                           key=jax.random.PRNGKey(7), return_pdb=False)
+    assert [len(r.sequence) for r in res] == [5, 5, 5]
+    for r in res:
+        assert set(r.sequence) <= set(AA_VOCAB)
+        assert np.isfinite(r.angles).all()
+    # inverse folding routes over the same groups
+    out = eng.inverse_fold_slots([s_small, s_big],
+                                 key=jax.random.PRNGKey(8))
+    assert len(out) == 2 and all(len(r.sequence) == 5 for r in out)
+
+    # a pocket larger than every receptor bucket -> request error
+    small_only = _tiny_engine(batch_size=2, receptor_buckets=[8])
+    with pytest.raises(ValueError, match="receptor bucket|serving shapes"):
+        small_only.featurize(_pocket(12, 5, seed=2))
+    # bucket beyond max_seq_len -> constructor error
+    with pytest.raises(ValueError, match="outside"):
+        _tiny_engine(receptor_buckets=[MAXLEN * 2])
+
+
+def test_receptor_bucket_warmup_compiles_all_pairs():
+    eng = _tiny_engine(batch_size=2, ligand_buckets=[8, 16],
+                       receptor_buckets=[8, MAXLEN])
+    eng.warmup(key=jax.random.PRNGKey(0))
+    assert eng.ready
+    # post-warmup requests on every shape work
+    recs = [_pocket(6, 5, seed=0), _pocket(12, 5, seed=1),
+            _pocket(6, 12, seed=2), _pocket(12, 12, seed=3)]
+    res = eng.design_records(recs, key=jax.random.PRNGKey(4),
+                             return_pdb=False)
+    assert [len(r.sequence) for r in res] == [5, 5, 12, 12]
+
+
+def test_batch_bucket_routing():
+    """A partial batch pads to the smallest compiled batch shape, a full
+    one to batch_size; results match the single-shape engine's contract
+    (order, lengths, finite angles)."""
+    eng = _tiny_engine(batch_size=4, batch_buckets=[2, 4])
+    assert eng.batch_buckets == [2, 4]
+    assert eng._pick_batch_bucket(1) == 2
+    assert eng._pick_batch_bucket(2) == 2
+    assert eng._pick_batch_bucket(3) == 4
+
+    # lone request -> bucket-2 shape under the hood
+    one = eng.design_records([_pocket(6, 5, seed=0)],
+                             key=jax.random.PRNGKey(0), return_pdb=False)
+    assert len(one) == 1 and len(one[0].sequence) == 5
+    # 3 requests -> bucket-4; 5 requests -> chunk of 4 + chunk of 1 (->2)
+    five = eng.design_records([_pocket(5, 6, seed=s) for s in range(5)],
+                              key=jax.random.PRNGKey(1), return_pdb=False)
+    assert [len(r.sequence) for r in five] == [6] * 5
+    assert all(np.isfinite(r.angles).all() for r in five)
+
+    with pytest.raises(ValueError, match="batch bucket"):
+        _tiny_engine(batch_size=4, batch_buckets=[8])
+
+    # warmup compiles every (lig, rec, batch) combination and requests
+    # still work afterwards
+    eng.warmup(key=jax.random.PRNGKey(2))
+    assert eng.ready
+
+
+def test_microbatcher_linger_dispatches_lone_request_early():
+    """A lone request must not sleep the whole max_wait window: with
+    linger_ms << max_wait_ms it dispatches after one linger gap."""
+    done = []
+
+    def run(items):
+        done.append(time.monotonic())
+        return [x for x, in items] if items and isinstance(items[0], tuple) \
+            else list(items)
+
+    mb = MicroBatcher(lambda items: list(items), max_batch=8,
+                      max_wait_ms=2000.0, linger_ms=5.0)
+    try:
+        t0 = time.monotonic()
+        fut = mb.submit("only")
+        assert fut.result(timeout=10.0) == "only"
+        elapsed = time.monotonic() - t0
+        # would be >= 2 s if the batcher slept the full window
+        assert elapsed < 1.0, elapsed
+    finally:
+        mb.shutdown()
+
+
+def test_microbatcher_linger_still_coalesces_bursts():
+    batches = []
+    mb = MicroBatcher(lambda items: (batches.append(list(items)),
+                                     list(items))[1],
+                      max_batch=8, max_wait_ms=2000.0, linger_ms=200.0)
+    try:
+        futs = [mb.submit(i) for i in range(8)]
+        assert [f.result(timeout=10.0) for f in futs] == list(range(8))
+        # a back-to-back burst of max_batch coalesces into ONE batch
+        assert len(batches) == 1 and len(batches[0]) == 8
+    finally:
+        mb.shutdown()
+
+
 def test_guided_engine_runs():
     """A guidance_scale != 1 engine runs the 2B guided samplers
     end-to-end (quality needs a cond_dropout-trained model; here we pin
