@@ -80,6 +80,17 @@ def main():
         jbatch["receptor_seq"], jbatch["receptor_angles"],
         jbatch["receptor_attn_mask"])["params"]
 
+    # bf16 parameter storage: the sampler is HBM-bandwidth-bound and
+    # re-reads the decoder weights every step; the load-time cast is a
+    # measured ~9% win at this batch (experiments/r4_results.jsonl,
+    # BENCHMARKS.md "bf16 parameter storage") with quality pinned by
+    # tests + the flagship TV comparison. E3DIFF_BENCH_PARAMS_DTYPE=f32
+    # opts out (reproduces the r3 configuration).
+    if os.environ.get("E3DIFF_BENCH_PARAMS_DTYPE", "bf16") == "bf16":
+        from e3diff_tpu.utils.params_io import cast_inference_params
+
+        params = cast_inference_params(params, "bf16")
+
     sampler = make_structure_sampler(model, diffusion, step=1,
                                      return_trajectory=False)
 
