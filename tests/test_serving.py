@@ -304,6 +304,19 @@ def test_engine_from_checkpoints(tmp_path):
                          key=jax.random.PRNGKey(5))
     assert len(results) == 2 and all(len(r.sequence) == 7 for r in results)
 
+    # params_dtype="bf16": load-time cast applies to both models and the
+    # engine still designs end-to-end
+    eng16 = DesignEngine.from_checkpoints(
+        f"{sdir}/final", f"{qdir}/final", batch_size=2, sampler="ddim",
+        ddim_steps=3, params_dtype="bf16")
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(eng16.structure_params))
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(eng16.sequence_params))
+    r16 = eng16.design(_pocket(6, 7), n_designs=1,
+                       key=jax.random.PRNGKey(6), return_pdb=False)
+    assert len(r16) == 1 and len(r16[0].sequence) == 7
+
     # disagreeing shared fields must be rejected
     save_config(dataclasses.replace(qcfg, max_seq_len=64), qdir)
     with pytest.raises(ValueError, match="disagree on max_seq_len"):
