@@ -80,16 +80,19 @@ def main():
         jbatch["receptor_seq"], jbatch["receptor_angles"],
         jbatch["receptor_attn_mask"])["params"]
 
-    # bf16 parameter storage: the sampler is HBM-bandwidth-bound and
-    # re-reads the decoder weights every step; the load-time cast is a
-    # measured ~9% win at this batch (experiments/r4_results.jsonl,
-    # BENCHMARKS.md "bf16 parameter storage") with quality pinned by
-    # tests + the flagship TV comparison. E3DIFF_BENCH_PARAMS_DTYPE=f32
-    # opts out (reproduces the r3 configuration).
-    if os.environ.get("E3DIFF_BENCH_PARAMS_DTYPE", "bf16") == "bf16":
+    # bf16_matmul parameter storage: cast only the >=2-D kernels to
+    # bf16. The compute path already rounds kernels to bf16 in-program
+    # (bf16 activations), so the sampled outputs are IDENTICAL to f32
+    # params (measured sample-identical on the flagship checkpoint —
+    # BENCHMARKS.md "bf16 parameter storage") while the stored weight
+    # stream halves: ~9% on this B=32 headline. Full "bf16" (biases/LN
+    # too) is the one that broke quality; E3DIFF_BENCH_PARAMS_DTYPE=f32
+    # reproduces the r3 configuration.
+    bench_pdt = os.environ.get("E3DIFF_BENCH_PARAMS_DTYPE", "bf16_matmul")
+    if bench_pdt != "f32":
         from e3diff_tpu.utils.params_io import cast_inference_params
 
-        params = cast_inference_params(params, "bf16")
+        params = cast_inference_params(params, bench_pdt)
 
     sampler = make_structure_sampler(model, diffusion, step=1,
                                      return_trajectory=False)

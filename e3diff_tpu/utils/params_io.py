@@ -23,21 +23,40 @@ def cast_inference_params(params, dtype):
     bfloat16 halves the dominant weight byte-stream. Training params stay
     f32 (the optimizer contract is untouched; this is a load-time cast on
     the inference paths only). ``dtype`` may be a jnp dtype or the
-    strings "f32"/"float32"/"bf16"/"bfloat16"; None is a no-op.
-    Non-float leaves (none exist today) pass through unchanged.
+    strings "f32"/"float32"/"bf16"/"bfloat16", or "bf16_matmul" (cast
+    only the >=2-D kernels — the weight-byte mass — keeping biases and
+    LayerNorm affines f32); None is a no-op. Non-float leaves (none
+    exist today) pass through unchanged.
+
+    QUALITY (measured, BENCHMARKS.md "bf16 parameter storage"):
+    "bf16_matmul" is the recommended inference setting — with bf16
+    activations the compute path already rounds kernels to bf16
+    in-program, so it is SAMPLE-IDENTICAL to f32 params while halving
+    the weight stream (~9% on the B=32 headline). Full "bf16" also
+    rounds the 1-D leaves (biases/LayerNorm/adaLN), whose systematic
+    per-step bias accumulates across the reverse diffusion and
+    collapsed flagship structure quality (TV 0.084 -> 0.399); it stays
+    quality-safe (and 1.21x) only for the sequence model's 50-step
+    D3PM. CLI defaults stay f32.
     """
     import jax
     import jax.numpy as jnp
 
     if dtype is None:
         return params
-    if isinstance(dtype, str):
+    matmul_only = dtype == "bf16_matmul"
+    if matmul_only:
+        dtype = jnp.bfloat16
+    elif isinstance(dtype, str):
         dtype = {"f32": jnp.float32, "float32": jnp.float32,
                  "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}[dtype]
 
     def cast(x):
-        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-            else x
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        if matmul_only and x.ndim < 2:
+            return x
+        return x.astype(dtype)
 
     return jax.tree.map(cast, params)
 

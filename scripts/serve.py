@@ -67,7 +67,7 @@ def main():
                              "(B,) vector: mixed scales batch together "
                              "with no recompiles; costs the 2B guided "
                              "forward even for w=1 requests)")
-    parser.add_argument("--params_dtype", choices=["f32", "bf16"],
+    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype for both "
                              "models (bf16 halves the samplers' HBM "

@@ -425,6 +425,17 @@ def test_params_dtype_cast_and_sampler_quality():
     back = cast_inference_params(bf16, "f32")
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(back))
 
+    # bf16_matmul: >=2-D kernels cast, 1-D leaves (biases/LN affines —
+    # the ones whose rounding broke flagship quality, BENCHMARKS.md)
+    # stay f32
+    mm = cast_inference_params(params, "bf16_matmul")
+    mm_leaves = jax.tree.leaves(mm)
+    assert any(l.ndim >= 2 for l in mm_leaves)
+    assert any(l.ndim < 2 for l in mm_leaves)
+    for l in mm_leaves:
+        want = jnp.bfloat16 if l.ndim >= 2 else jnp.float32
+        assert l.dtype == want, (l.shape, l.dtype)
+
     # the reverse loop is chaotic (noise re-injection makes pointwise
     # trajectories diverge under ANY weight perturbation), so the
     # numerical pin is on a single denoiser forward: bf16 weight
