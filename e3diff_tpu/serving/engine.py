@@ -241,12 +241,18 @@ class DesignEngine:
         )
 
         transition = kwargs.pop("transition", "uniform")
-        # bf16 parameter storage halves the samplers' HBM weight stream
-        # (the steps are bandwidth-bound); quality pinned in
-        # tests/test_serving.py and BENCHMARKS.md
+        # parameter storage dtype per model. "bf16_matmul" is
+        # sample-identical to f32 for both; FULL "bf16" is quality-safe
+        # (and a measured 1.21x) only for the sequence model — so the
+        # sequence dtype may be set independently (seq_params_dtype;
+        # defaults to params_dtype). BENCHMARKS.md "bf16 parameter
+        # storage".
         params_dtype = kwargs.pop("params_dtype", None)
         if params_dtype == "f32":
             params_dtype = None
+        seq_params_dtype = kwargs.pop("seq_params_dtype", params_dtype)
+        if seq_params_dtype == "f32":
+            seq_params_dtype = None
         batch_size = kwargs.get("batch_size", 64)
 
         sside = load_ckpt_config(structure_ckpt) or {}
@@ -278,7 +284,7 @@ class DesignEngine:
         sparams = load_structure_params(structure_ckpt, smodel, shapes, rng,
                                         params_dtype=params_dtype)
         qparams = load_sequence_params(sequence_ckpt, qmodel, shapes, rng,
-                                       params_dtype=params_dtype)
+                                       params_dtype=seq_params_dtype)
         return cls(cfg, smodel, sparams, sdiff, qmodel, qparams, d3pm,
                    **kwargs)
 

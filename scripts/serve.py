@@ -70,9 +70,16 @@ def main():
     parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype for both "
-                             "models (bf16 halves the samplers' HBM "
-                             "weight stream; quality pinned in "
-                             "BENCHMARKS.md)")
+                             "models. bf16_matmul (kernels only) is "
+                             "sample-identical to f32; FULL bf16 "
+                             "degrades STRUCTURE quality (BENCHMARKS.md)")
+    parser.add_argument("--seq_params_dtype",
+                        choices=["f32", "bf16", "bf16_matmul"],
+                        default=None,
+                        help="override for the sequence model only "
+                             "(default: follow --params_dtype). Full "
+                             "bf16 is quality-neutral AND 1.21x for the "
+                             "inverse-folding sampler")
     parser.add_argument("--max_wait_ms", type=float, default=25.0,
                         help="micro-batching window cap after the first "
                              "request of a batch")
@@ -143,6 +150,7 @@ def main():
         seq_guidance_scale=args.seq_guidance_scale,
         enable_cfg=args.enable_cfg,
         params_dtype=args.params_dtype,
+        seq_params_dtype=args.seq_params_dtype,
         ligand_buckets=([int(b) for b in args.ligand_buckets.split(",")]
                         if args.ligand_buckets else None),
         receptor_buckets=([int(b) for b in

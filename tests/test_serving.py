@@ -317,6 +317,16 @@ def test_engine_from_checkpoints(tmp_path):
                        key=jax.random.PRNGKey(6), return_pdb=False)
     assert len(r16) == 1 and len(r16[0].sequence) == 7
 
+    # independent sequence dtype: structure stays f32, sequence bf16
+    # (the measured quality-safe + 1.21x serving combination)
+    eng_mix = DesignEngine.from_checkpoints(
+        f"{sdir}/final", f"{qdir}/final", batch_size=2, sampler="ddim",
+        ddim_steps=3, params_dtype="f32", seq_params_dtype="bf16")
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(eng_mix.structure_params))
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(eng_mix.sequence_params))
+
     # disagreeing shared fields must be rejected
     save_config(dataclasses.replace(qcfg, max_seq_len=64), qdir)
     with pytest.raises(ValueError, match="disagree on max_seq_len"):
