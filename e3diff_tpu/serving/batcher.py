@@ -40,7 +40,7 @@ class MicroBatcher:
         # keeps extending the batch (up to max_wait total), while a lone
         # request dispatches after one linger instead of sleeping the
         # whole window (round-3 unloaded latency was one full window)
-        self._linger_s = min(linger_ms, max_wait_ms) / 1000.0
+        self._linger_s = max(0.0, min(linger_ms, max_wait_ms)) / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()

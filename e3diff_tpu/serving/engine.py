@@ -11,10 +11,14 @@ PDBs via NERF, and inverse-folds the generated angles with the uniform
 transition (the reference's end-to-end pairing,
 sample_by_generated_angles.py:253).
 
-TPU serving shape discipline: every batch is (batch_size, ligand_bucket /
-receptor max_len) — requests are padded into slots, never reshaped, so
-the two jitted sampler programs compile once at startup (`warmup`) and
-every request afterwards reuses them.
+TPU serving shape discipline: every device run uses a FIXED compiled
+shape — requests are padded into slots, never reshaped. The shapes are
+routed per request along three bucket axes (smallest configured bucket
+that fits): ligand length, receptor length, and batch size (a partial
+micro-batch pads to a small batch shape instead of the full
+batch_size). One jitted program per (ligand, receptor, batch, stage)
+combination, all compiled at startup (`warmup`); every request
+afterwards reuses them.
 """
 
 from __future__ import annotations
@@ -250,7 +254,12 @@ class DesignEngine:
         params_dtype = kwargs.pop("params_dtype", None)
         if params_dtype == "f32":
             params_dtype = None
-        seq_params_dtype = kwargs.pop("seq_params_dtype", params_dtype)
+        # None (absent OR passed as None) falls back to params_dtype —
+        # CLIs pass the flag unconditionally, so a dict-default pop
+        # would defeat the documented fallback
+        seq_params_dtype = kwargs.pop("seq_params_dtype", None)
+        if seq_params_dtype is None:
+            seq_params_dtype = params_dtype
         if seq_params_dtype == "f32":
             seq_params_dtype = None
         batch_size = kwargs.get("batch_size", 64)
@@ -393,13 +402,14 @@ class DesignEngine:
         """Run the design pipeline for pre-featurized slots (the HTTP
         layer featurizes in its request threads so one bad request fails
         alone, then batches validated slots here). Slots are packed into
-        fixed (batch_size, ...) batches; the final partial batch is
-        zero-padded (dead slots drop out via the all-zero attention
-        masks). ``return_pdb`` is a bool or a per-slot sequence of bools
-        (coords are reconstructed on device when any slot wants a PDB;
-        text is only formatted for the slots that asked). Mixed-bucket
-        slot lists run one batched pass per ligand bucket; result order
-        follows the input order."""
+        fixed-shape batches — chunked at batch_size, each chunk padded
+        to the smallest configured batch bucket that fits it (dead pad
+        slots drop out via the all-zero attention masks). ``return_pdb``
+        is a bool or a per-slot sequence of bools (coords are
+        reconstructed on device when any slot wants a PDB; text is only
+        formatted for the slots that asked). Mixed-bucket slot lists run
+        one batched pass per (ligand, receptor) bucket group; result
+        order follows the input order."""
         import jax
 
         if not slots:

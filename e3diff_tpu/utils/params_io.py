@@ -44,6 +44,8 @@ def cast_inference_params(params, dtype):
 
     if dtype is None:
         return params
+    # "f32" stays a real cast (a no-op astype on already-f32 params) so
+    # the CLIs can pass their flag straight through
     matmul_only = dtype == "bf16_matmul"
     if matmul_only:
         dtype = jnp.bfloat16

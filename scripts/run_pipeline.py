@@ -104,11 +104,10 @@ def main():
 
     rng = jax.random.PRNGKey(cfg.seed)
     batch0 = next(test_ds.batches(cfg.batch_size))
-    pdt = args.params_dtype if args.params_dtype != "f32" else None
     sparams = load_struct_params(args.structure_ckpt, smodel, batch0, rng,
-                                 params_dtype=pdt)
+                                 params_dtype=args.params_dtype)
     qparams = load_seq_params(args.sequence_ckpt, qmodel, batch0, rng,
-                              params_dtype=pdt)
+                              params_dtype=args.params_dtype)
 
     results = run_pipeline(
         sparams, smodel, qparams, qmodel, test_ds, rng,

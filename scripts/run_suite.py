@@ -63,6 +63,10 @@ def run_shard(name, pytest_args):
         cwd=REPO, capture_output=True, text=True)
     dt = time.time() - t0
     tail = (proc.stdout or "").strip().splitlines()[-30:]
+    if proc.returncode != 0 and proc.stderr:
+        # a segfaulting shard reports its fatal error + stack on stderr
+        tail += ["--- stderr ---"] + \
+            proc.stderr.strip().splitlines()[-15:]
     counts = {}
     for line in reversed(tail):
         found = SUMMARY_RE.findall(line)

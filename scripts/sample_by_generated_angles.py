@@ -92,8 +92,7 @@ def main():
     d3pm = build_sequence_diffusion(cfg, transition="uniform")
     rng = jax.random.PRNGKey(cfg.seed)
     params = load_params(args.ckpt, model, batches[0], rng,
-                         params_dtype=args.params_dtype
-                         if args.params_dtype != "f32" else None)
+                         params_dtype=args.params_dtype)
 
     results = sample_sequence_batches(
         params, model, d3pm, batches, rng,

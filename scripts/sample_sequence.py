@@ -83,8 +83,7 @@ def main():
     rng = jax.random.PRNGKey(cfg.seed)
     sample_batch = next(test_ds.batches(cfg.batch_size))
     params = load_params(args.ckpt, model, sample_batch, rng,
-                         params_dtype=args.params_dtype
-                         if args.params_dtype != "f32" else None)
+                         params_dtype=args.params_dtype)
 
     results = sample_sequence_batches(
         params, model, d3pm, test_ds.batches(cfg.batch_size), rng,

@@ -145,7 +145,8 @@ def main():
         args.structure_ckpt, args.sequence_ckpt,
         batch_size=args.serve_batch_size, sampler=args.sampler,
         ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
-        seq_skip_steps=args.seq_skip_steps, transition=args.transition,
+        seq_skip_steps=args.seq_skip_steps or None,
+        transition=args.transition,
         guidance_scale=args.guidance_scale,
         seq_guidance_scale=args.seq_guidance_scale,
         enable_cfg=args.enable_cfg,

@@ -641,13 +641,6 @@ def test_batch_bucket_routing():
 def test_microbatcher_linger_dispatches_lone_request_early():
     """A lone request must not sleep the whole max_wait window: with
     linger_ms << max_wait_ms it dispatches after one linger gap."""
-    done = []
-
-    def run(items):
-        done.append(time.monotonic())
-        return [x for x, in items] if items and isinstance(items[0], tuple) \
-            else list(items)
-
     mb = MicroBatcher(lambda items: list(items), max_batch=8,
                       max_wait_ms=2000.0, linger_ms=5.0)
     try:
@@ -657,6 +650,16 @@ def test_microbatcher_linger_dispatches_lone_request_early():
         elapsed = time.monotonic() - t0
         # would be >= 2 s if the batcher slept the full window
         assert elapsed < 1.0, elapsed
+    finally:
+        mb.shutdown()
+
+    # a negative linger must clamp to 0, not kill the worker thread
+    # (queue.get raises on negative timeouts)
+    mb = MicroBatcher(lambda items: list(items), max_batch=8,
+                      max_wait_ms=100.0, linger_ms=-3.0)
+    try:
+        assert mb._linger_s == 0.0
+        assert mb.submit("x").result(timeout=10.0) == "x"
     finally:
         mb.shutdown()
 
