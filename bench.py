@@ -153,6 +153,8 @@ def main():
         "value": round(elapsed, 3),
         "unit": f"s/batch32 ({rate:.1f} peptides/s/chip)",
         "vs_baseline": round(2.0 / elapsed, 3),
+        # self-describing param storage (ADVICE r4): r3 numbers were f32
+        "params_dtype": bench_pdt,
     }))
 
 

@@ -13,9 +13,15 @@ and assembles a global array:
   recipe; XLA then runs the same jitted train step SPMD across all hosts
   with gradient psum over ICI/DCN.
 
-This module is exercised in single-process mode by the test suite; the
-multi-process branch follows the documented JAX API contract (cannot be
-executed in a one-host environment, by construction).
+Both branches are executed by the test suite. The multi-process branch
+runs for real in tests/test_multihost_spawn.py: two spawned OS processes
+(4 virtual CPU devices each) join one jax.distributed job via
+`initialize_multihost`, slice + distribute a global batch, take
+dp-sharded train steps, and collectively save a checkpoint that restores
+single-process — asserted equal to the single-process trajectory.
+(An earlier revision of this docstring claimed the branch could not be
+tested on one host; that was wrong — `jax.distributed.initialize`
+accepts N local processes with a localhost coordinator.)
 """
 
 from __future__ import annotations

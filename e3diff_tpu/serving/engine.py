@@ -371,19 +371,41 @@ class DesignEngine:
             "seq_guidance_scale")
         return slot
 
-    def warmup(self, key=None) -> None:
-        """Compile the sampler programs for EVERY (ligand, receptor,
-        batch) bucket combination on dummy batches (30-340 s per cold
-        program through a tunneled TPU — pay it at startup, not on
-        request #1)."""
-        for rb in self.receptor_buckets:
-            for b in self.ligand_buckets:
-                # a pocket of exactly rb residues routes to bucket rb
-                rec = pocket_record("A" * rb,
-                                    np.zeros((rb, 8), np.float32), b)
-                for bb in self.batch_buckets:
-                    self.design_records([rec] * bb, key=key,
-                                        return_pdb=False)
+    def warmup(self, key=None, shapes=None) -> None:
+        """Compile the sampler programs for (ligand, receptor, batch)
+        bucket combinations on dummy batches (30-340 s per cold program
+        through a tunneled TPU — pay it at startup, not on request #1).
+
+        By default warms EVERY combination — compile cost scales
+        multiplicatively with the bucket axes (|rec| x |lig| x |batch|),
+        so operators with many buckets can pass ``shapes``, an iterable
+        of (receptor_bucket, ligand_bucket, batch_bucket) triples, to
+        warm only the combinations real traffic hits; an un-warmed
+        combination still works, paying its compile on first request.
+        Progress (one line per combination, with wall time) goes to
+        stderr so slow startups are attributable."""
+        import sys
+        import time as _time
+
+        if shapes is None:
+            shapes = [(rb, b, bb) for rb in self.receptor_buckets
+                      for b in self.ligand_buckets
+                      for bb in self.batch_buckets]
+        shapes = list(shapes)
+        for i, (rb, b, bb) in enumerate(shapes):
+            if rb not in self.receptor_buckets or b not in self.ligand_buckets \
+                    or bb not in self.batch_buckets:
+                raise ValueError(
+                    f"warmup shape (rec={rb}, lig={b}, batch={bb}) is not "
+                    f"in the configured buckets {self.receptor_buckets} x "
+                    f"{self.ligand_buckets} x {self.batch_buckets}")
+            t0 = _time.monotonic()
+            # a pocket of exactly rb residues routes to bucket rb
+            rec = pocket_record("A" * rb, np.zeros((rb, 8), np.float32), b)
+            self.design_records([rec] * bb, key=key, return_pdb=False)
+            print(f"[warmup {i + 1}/{len(shapes)}] rec={rb} lig={b} "
+                  f"batch={bb}: {_time.monotonic() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         self._warm = True
 
     @property

@@ -33,7 +33,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from e3diff_tpu.serving.batcher import MicroBatcher
+from e3diff_tpu.serving.batcher import MicroBatcher, QueueFullError
 from e3diff_tpu.serving.engine import DesignEngine, pocket_record
 
 
@@ -70,26 +70,29 @@ class DesignServer:
     def __init__(self, engine: DesignEngine, host: str = "127.0.0.1",
                  port: int = 0, max_wait_ms: float = 25.0,
                  linger_ms: float = 2.0,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 max_queue: int | None = None):
         self.engine = engine
         self.request_timeout_s = request_timeout_s
         # items are (pre-featurized slot, want_pdb): featurization and
         # its validation run in the HTTP request threads, so an invalid
         # request fails alone (and n_designs featurizes once) instead of
-        # poisoning every request coalesced into its batch
+        # poisoning every request coalesced into its batch.
+        # max_queue (default 4 x batch) bounds each queue: overload gets
+        # an immediate 429 + Retry-After instead of a 600 s timeout.
         self.batcher = MicroBatcher(
             lambda items: engine.design_slots(
                 [s for s, _ in items],
                 return_pdb=[w for _, w in items]),
             max_batch=engine.batch_size, max_wait_ms=max_wait_ms,
-            linger_ms=linger_ms)
+            linger_ms=linger_ms, max_queue=max_queue)
         # inverse folding runs a different device program (sequence
         # sampler only), so it coalesces in its own queue; the engine's
         # device lock serializes the two programs on the chip
         self.if_batcher = MicroBatcher(
             engine.inverse_fold_slots,
             max_batch=engine.batch_size, max_wait_ms=max_wait_ms,
-            linger_ms=linger_ms)
+            linger_ms=linger_ms, max_queue=max_queue)
         self._httpd = _HTTPServer((host, port), self._make_handler())
         self._thread: threading.Thread | None = None
 
@@ -128,7 +131,7 @@ class DesignServer:
         slot = self.engine.featurize(
             record, guidance_scale=payload.get("guidance_scale"),
             seq_guidance_scale=payload.get("seq_guidance_scale"))
-        futures = [self.batcher.submit((slot, want_pdb)) for _ in range(n)]
+        futures = self.batcher.submit_many([(slot, want_pdb)] * n)
         results = [f.result(timeout=self.request_timeout_s)
                    for f in futures]
         designs = []
@@ -157,7 +160,7 @@ class DesignServer:
                 f"n_samples must be in [1, {4 * self.engine.batch_size}]")
         slot = self.engine.featurize(
             record, seq_guidance_scale=payload.get("guidance_scale"))
-        futures = [self.if_batcher.submit(slot) for _ in range(n)]
+        futures = self.if_batcher.submit_many([slot] * n)
         results = [f.result(timeout=self.request_timeout_s)
                    for f in futures]
         out = []
@@ -178,11 +181,13 @@ class DesignServer:
             def log_message(self, *args):  # quiet by default
                 pass
 
-            def _reply(self, code: int, obj: dict):
+            def _reply(self, code: int, obj: dict, headers: dict = None):
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -226,6 +231,14 @@ class DesignServer:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     self._reply(200, handler(payload))
+                except QueueFullError as exc:
+                    # overload backpressure: reject fast + retryable
+                    # rather than queueing toward a slow timeout
+                    self._reply(429, {"error": str(exc),
+                                      "retry_after_s": exc.retry_after_s},
+                                headers={"Retry-After":
+                                         str(max(1, round(
+                                             exc.retry_after_s)))})
                 except (ValueError, KeyError, TypeError) as exc:
                     self._reply(400, {"error": str(exc)})
                 except Exception as exc:  # noqa: BLE001 — surface as 500

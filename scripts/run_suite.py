@@ -62,13 +62,16 @@ def run_shard(name, pytest_args):
         [sys.executable, "-m", "pytest", *pytest_args],
         cwd=REPO, capture_output=True, text=True)
     dt = time.time() - t0
-    tail = (proc.stdout or "").strip().splitlines()[-30:]
+    stdout_tail = (proc.stdout or "").strip().splitlines()[-30:]
+    tail = list(stdout_tail)
     if proc.returncode != 0 and proc.stderr:
         # a segfaulting shard reports its fatal error + stack on stderr
         tail += ["--- stderr ---"] + \
             proc.stderr.strip().splitlines()[-15:]
     counts = {}
-    for line in reversed(tail):
+    # parse counts from STDOUT only (ADVICE r4): a stderr log line with a
+    # digit+keyword pair could otherwise be mistaken for pytest's summary
+    for line in reversed(stdout_tail):
         found = SUMMARY_RE.findall(line)
         if found and ("passed" in line or "failed" in line or "error" in line
                       or "no tests ran" in line):

@@ -103,6 +103,20 @@ def main():
                              "fits its extended pocket, so short pockets "
                              "skip the full max_seq_len cost. Default: "
                              "one bucket at the checkpoint's max_seq_len")
+    parser.add_argument("--max_queue", type=int, default=None,
+                        help="bound on pending request slots per queue "
+                             "(default 4 x serve_batch_size); overload "
+                             "beyond it gets an immediate 429 + "
+                             "Retry-After instead of queueing toward a "
+                             "timeout. 0 = unbounded (pre-r5 behavior)")
+    parser.add_argument("--warmup_shapes", default=None,
+                        help="comma-separated rec:lig:batch triples "
+                             "(e.g. '64:16:8,64:16:64') to warm only "
+                             "those bucket combinations at startup "
+                             "instead of the full cartesian product "
+                             "(compile cost scales as |rec| x |lig| x "
+                             "|batch|); un-warmed combinations compile "
+                             "on first request")
     parser.add_argument("--dp", type=int, default=None,
                         help="serve over a device mesh: data-parallel "
                              "extent (default: all devices when >1 are "
@@ -161,10 +175,15 @@ def main():
                        if args.batch_buckets else None),
         mesh=mesh)
     print("compiling samplers (warmup) ...")
-    engine.warmup()
+    shapes = None
+    if args.warmup_shapes:
+        shapes = [tuple(int(x) for x in t.split(":"))
+                  for t in args.warmup_shapes.split(",")]
+    engine.warmup(shapes=shapes)
     server = DesignServer(engine, host=args.host, port=args.port,
                           max_wait_ms=args.max_wait_ms,
-                          linger_ms=args.linger_ms)
+                          linger_ms=args.linger_ms,
+                          max_queue=args.max_queue)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(POST /design, GET /healthz, GET /stats)")
     try:

@@ -782,3 +782,185 @@ def test_server_guidance_scale_rejected_without_cfg():
         assert code == 400 and "CFG-enabled" in body["error"]
     finally:
         server.shutdown()
+
+
+# ----------------------------------------------- overload backpressure (r5)
+
+def test_microbatcher_bounded_queue_rejects_and_recovers():
+    """Submits beyond max_queue raise QueueFullError immediately; every
+    ACCEPTED request still completes once the worker drains (no stuck
+    futures), and the queue depth never exceeds the bound."""
+    from e3diff_tpu.serving.batcher import QueueFullError
+
+    gate = threading.Event()
+
+    def run(items):
+        gate.wait(timeout=10)
+        return list(items)
+
+    mb = MicroBatcher(run, max_batch=2, max_wait_ms=1.0, max_queue=4)
+    try:
+        first = mb.submit("w")           # occupies the worker at the gate
+        time.sleep(0.1)                  # let the worker pick it up
+        accepted = [mb.submit(i) for i in range(4)]   # fills the queue
+        with pytest.raises(QueueFullError) as exc:
+            mb.submit("overflow")
+        assert exc.value.retry_after_s > 0
+        assert mb.stats()["rejected"] == 1
+        assert mb.stats()["queue_depth"] <= 4
+        gate.set()                       # drain
+        assert first.result(timeout=10) == "w"
+        assert [f.result(timeout=10) for f in accepted] == list(range(4))
+        # capacity freed: new submits are accepted again
+        assert mb.submit("after").result(timeout=10) == "after"
+    finally:
+        gate.set()
+        mb.shutdown()
+
+
+def test_microbatcher_submit_many_is_atomic():
+    """A multi-slot submit either fits entirely or rejects entirely —
+    no partial admission."""
+    from e3diff_tpu.serving.batcher import QueueFullError
+
+    gate = threading.Event()
+    mb = MicroBatcher(lambda items: (gate.wait(10), list(items))[1],
+                      max_batch=2, max_wait_ms=1.0, max_queue=4)
+    try:
+        mb.submit("w")
+        time.sleep(0.1)
+        mb.submit_many([1, 2])           # 2/4 slots used
+        depth_before = mb.stats()["queue_depth"]
+        with pytest.raises(QueueFullError):
+            mb.submit_many([3, 4, 5])    # 3 more would exceed 4
+        assert mb.stats()["queue_depth"] == depth_before   # none enqueued
+        assert mb.stats()["rejected"] == 3
+        futs = mb.submit_many([6, 7])    # exactly fills — accepted
+        gate.set()
+        assert [f.result(timeout=10) for f in futs] == [6, 7]
+    finally:
+        gate.set()
+        mb.shutdown()
+
+
+def test_microbatcher_unbounded_opt_out():
+    mb = MicroBatcher(lambda items: list(items), max_batch=2,
+                      max_wait_ms=1.0, max_queue=0)
+    try:
+        futs = [mb.submit(i) for i in range(64)]   # >> any bound
+        assert [f.result(timeout=10) for f in futs] == list(range(64))
+        assert mb.stats()["rejected"] == 0
+        assert mb.stats()["max_queue"] == 0
+    finally:
+        mb.shutdown()
+
+
+def test_server_overload_returns_429_with_retry_after():
+    """Sustained load beyond queue capacity gets an immediate 429 +
+    Retry-After (not a slow timeout), accepted requests all complete,
+    and /stats reports the rejection."""
+    eng = _tiny_engine(batch_size=2)
+    eng.warmup(key=jax.random.PRNGKey(0))
+
+    # gate the device path so the queue can deterministically fill
+    gate = threading.Event()
+    real = eng.design_slots
+
+    def gated(slots, **kw):
+        gate.wait(timeout=30)
+        return real(slots, **kw)
+
+    eng.design_slots = gated
+    server = DesignServer(eng, port=0, max_wait_ms=1.0, max_queue=2)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    pocket = _pocket(6, 7)
+    payload = {
+        "pocket": {"sequence": "".join(pocket["amino_acid"][:6]),
+                   "angles": np.asarray(
+                       pocket["angle_features"][:6]).tolist(),
+                   "peptide_length": 7},
+        "n_designs": 1, "return_pdb": False,
+    }
+    results = []
+
+    def client():
+        results.append(_http("POST", f"{base}/design", payload))
+
+    try:
+        # first request occupies the worker at the gate; two more fill
+        # the bounded queue
+        threads = [threading.Thread(target=client) for _ in range(3)]
+        for t in threads:
+            t.start()
+            time.sleep(0.2)   # let each land (worker holds the first)
+
+        # queue is now full: a synchronous request must 429 fast
+        req = urllib.request.Request(
+            f"{base}/design", data=json.dumps(payload).encode(),
+            method="POST")
+        t0 = time.monotonic()
+        try:
+            with urllib.request.urlopen(req, timeout=30):
+                raise AssertionError("expected HTTP 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert int(e.headers["Retry-After"]) >= 1
+            body = json.loads(e.read())
+            assert "queue full" in body["error"]
+            assert body["retry_after_s"] > 0
+        assert time.monotonic() - t0 < 5.0   # fast rejection, no timeout
+
+        code, stats = _http("GET", f"{base}/stats")
+        assert stats["rejected"] >= 1
+        assert stats["queue_depth"] <= stats["max_queue"] == 2
+
+        gate.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert [c for c, _ in results] == [200, 200, 200]   # no stuck work
+    finally:
+        gate.set()
+        server.shutdown()
+
+
+def test_server_multi_slot_request_rejects_whole():
+    """n_designs > remaining capacity: the whole request 429s; nothing
+    is partially admitted."""
+    eng = _tiny_engine(batch_size=2)
+    eng.warmup(key=jax.random.PRNGKey(0))
+    gate = threading.Event()
+    real = eng.design_slots
+    eng.design_slots = lambda slots, **kw: (gate.wait(30),
+                                            real(slots, **kw))[1]
+    server = DesignServer(eng, port=0, max_wait_ms=1.0, max_queue=3)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    pocket = _pocket(6, 7)
+
+    def payload(n):
+        return {"pocket": {"sequence": "".join(pocket["amino_acid"][:6]),
+                           "angles": np.asarray(
+                               pocket["angle_features"][:6]).tolist(),
+                           "peptide_length": 7},
+                "n_designs": n, "return_pdb": False}
+
+    try:
+        t = threading.Thread(
+            target=lambda: _http("POST", f"{base}/design", payload(1)))
+        t.start()
+        time.sleep(0.3)                   # worker holds it at the gate
+        th2 = threading.Thread(
+            target=lambda: _http("POST", f"{base}/design", payload(2)))
+        th2.start()
+        time.sleep(0.3)                   # 2/3 queue slots used
+        code, body = _http("POST", f"{base}/design", payload(2))
+        assert code == 429                # 2 more don't fit atomically
+        code, stats = _http("GET", f"{base}/stats")
+        assert stats["queue_depth"] == 2  # rejected request left no slot
+        gate.set()
+        t.join(timeout=30)
+        th2.join(timeout=30)
+    finally:
+        gate.set()
+        server.shutdown()
