@@ -89,10 +89,10 @@ def main():
     # too) is the one that broke quality; E3DIFF_BENCH_PARAMS_DTYPE=f32
     # reproduces the r3 configuration.
     bench_pdt = os.environ.get("E3DIFF_BENCH_PARAMS_DTYPE", "bf16_matmul")
-    if bench_pdt not in ("f32", "bf16", "bf16_matmul"):
+    if bench_pdt not in ("f32", "bf16", "bf16_matmul", "int8_matmul"):
         raise SystemExit(
             f"E3DIFF_BENCH_PARAMS_DTYPE={bench_pdt!r}: expected one of "
-            "f32 | bf16 | bf16_matmul")
+            "f32 | bf16 | bf16_matmul | int8_matmul")
     if bench_pdt != "f32":
         from e3diff_tpu.utils.params_io import cast_inference_params
 

@@ -20,6 +20,7 @@ import numpy as np
 from e3diff_tpu.data.dataset import AA_VOCAB, strip_meta
 from e3diff_tpu.diffusion.d3pm import D3PMDiffusion
 from e3diff_tpu.diffusion.guidance import concat_cond_uncond, guided_combine
+from e3diff_tpu.utils.quant import dequantize_params
 
 
 from e3diff_tpu.utils.jit_cache import JitSamplerCache
@@ -68,8 +69,12 @@ def make_sequence_sampler(model, d3pm: D3PMDiffusion, diverse: bool = True,
             if guided:
                 s_arr = jnp.concatenate([s_arr, s_arr], axis=0)
                 x = jnp.concatenate([x, x], axis=0)
+            # int8_matmul params dequantize INSIDE the scan body (the
+            # sequence model re-runs its full receptor fuse + decoder per
+            # step — Q7 — so ALL its weights are per-step HBM streams);
+            # pure pass-through for unquantized trees
             logits = model.apply(
-                {"params": params}, s_arr, x,
+                {"params": dequantize_params(params)}, s_arr, x,
                 cond["ligand_angles"], cond["ligand_attn_mask"],
                 cond["receptor_seq"], cond["receptor_angles"],
                 cond["receptor_attn_mask"],

@@ -24,6 +24,7 @@ from e3diff_tpu.diffusion.gaussian import (
     sample_wrapped_noise,
 )
 from e3diff_tpu.diffusion.guidance import guided_combine, null_receptor
+from e3diff_tpu.utils.quant import dequantize_params
 
 
 from e3diff_tpu.utils.jit_cache import JitSamplerCache
@@ -88,22 +89,30 @@ def make_structure_sampler(model, diffusion: GaussianAngleDiffusion,
             rec_ang = jnp.concatenate([rec_ang, nang], axis=0)
             rec_mask = jnp.concatenate([rec_mask, nmask], axis=0)
             lig_mask = jnp.concatenate([lig_mask, lig_mask], axis=0)
+        # int8_matmul params: the one-shot encoder/cross-KV work uses a
+        # dequantized view computed once per call...
+        fparams = dequantize_params(params)
         enc_out = model.apply(
-            {"params": params}, rec_seq, rec_ang, rec_mask,
+            {"params": fparams}, rec_seq, rec_ang, rec_mask,
             deterministic=True, method=model.encode_receptor)
         # the decoder's cross-attention k/v over that encoding are ALSO
         # timestep-independent: project them once here instead of inside
         # every one of the T scan steps (bit-identical numerics)
         cross_kv = model.apply(
-            {"params": params}, enc_out, method=model.precompute_cross_kv)
+            {"params": fparams}, enc_out, method=model.precompute_cross_kv)
 
         def denoise_fn(t_vec, x):
             if guided:
                 t_vec = jnp.concatenate([t_vec, t_vec], axis=0)
                 x = jnp.concatenate([x, x], axis=0)
+            # ...while the per-step decoder weights dequantize INSIDE the
+            # scan body: the HBM-resident form the loop streams every step
+            # stays int8 (+ scales), and the dequant multiply fuses into
+            # the consumer matmuls. For unquantized params both calls are
+            # pure pass-throughs (no ops inserted).
             pred = model.apply(
-                {"params": params}, t_vec, x, lig_mask, enc_out,
-                rec_mask, deterministic=True, method=model.decode,
+                {"params": dequantize_params(params)}, t_vec, x, lig_mask,
+                enc_out, rec_mask, deterministic=True, method=model.decode,
                 cross_kv=cross_kv)
             return guided_combine(pred, scale) if guided else pred
 

@@ -37,13 +37,20 @@ def cast_inference_params(params, dtype):
     per-step bias accumulates across the reverse diffusion and
     collapsed flagship structure quality (TV 0.084 -> 0.399); it stays
     quality-safe (and 1.21x) only for the sequence model's 50-step
-    D3PM. CLI defaults stay f32.
+    D3PM. "int8_matmul" packs the >=2-D kernels as int8 + per-channel
+    scales (utils/quant.py) — halves the weight stream AGAIN vs bf16;
+    lossy (~0.4% kernel rms), gated by the measured quality harness
+    (BENCHMARKS.md round 5). CLI defaults stay f32.
     """
     import jax
     import jax.numpy as jnp
 
     if dtype is None:
         return params
+    if dtype == "int8_matmul":
+        from e3diff_tpu.utils.quant import quantize_params_int8
+
+        return quantize_params_int8(params)
     # "f32" stays a real cast (a no-op astype on already-f32 params) so
     # the CLIs can pass their flag straight through
     matmul_only = dtype == "bf16_matmul"

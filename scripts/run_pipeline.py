@@ -41,7 +41,7 @@ def main():
                         help="CFG scale for the inverse-folding sampler")
     parser.add_argument("--sequence_timesteps", type=int, default=50)
     parser.add_argument("--sequence_layers", type=int, default=6)
-    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
+    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype for both "
                              "models (bf16 halves the HBM weight stream)")

@@ -35,7 +35,7 @@ def main():
     parser.add_argument("--output",
                         default="./data/from_generated_angles/output.pkl")
     parser.add_argument("--greedy", action="store_true")
-    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
+    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype (bf16 "
                              "halves the HBM weight stream)")

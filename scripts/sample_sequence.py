@@ -47,7 +47,7 @@ def main():
                         help="classifier-free guidance scale on the "
                              "logits (1 = off; needs a --cond_dropout-"
                              "trained checkpoint)")
-    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
+    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype (bf16 "
                              "halves the HBM weight stream; inference "

@@ -62,7 +62,7 @@ def main():
                         help="store/pull the trajectory in bfloat16 (halves "
                              "the device->host transfer, which exceeds the "
                              "sampling compute itself on tunneled TPUs)")
-    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
+    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype. bf16 "
                              "halves the sampler's dominant HBM weight "

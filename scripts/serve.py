@@ -67,14 +67,14 @@ def main():
                              "(B,) vector: mixed scales batch together "
                              "with no recompiles; costs the 2B guided "
                              "forward even for w=1 requests)")
-    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
+    parser.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                         default="f32",
                         help="load-time parameter storage dtype for both "
                              "models. bf16_matmul (kernels only) is "
                              "sample-identical to f32; FULL bf16 "
                              "degrades STRUCTURE quality (BENCHMARKS.md)")
     parser.add_argument("--seq_params_dtype",
-                        choices=["f32", "bf16", "bf16_matmul"],
+                        choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                         default=None,
                         help="override for the sequence model only "
                              "(default: follow --params_dtype). Full "

@@ -964,3 +964,21 @@ def test_server_multi_slot_request_rejects_whole():
     finally:
         gate.set()
         server.shutdown()
+
+
+def test_engine_runs_with_int8_params():
+    """The full design pipeline (structure DDIM + NERF + inverse fold)
+    runs on int8_matmul-packed params for BOTH models — the serving-side
+    wiring of the scan-body dequantization (utils/quant.py)."""
+    from e3diff_tpu.utils.quant import is_quantized, quantize_params_int8
+
+    eng = _tiny_engine(batch_size=2)
+    eng.structure_params = quantize_params_int8(eng.structure_params)
+    eng.sequence_params = quantize_params_int8(eng.sequence_params)
+    assert is_quantized(eng.structure_params)
+    results = eng.design_records([_pocket(6, 7), _pocket(5, 6, seed=1)],
+                                 key=jax.random.PRNGKey(0))
+    assert len(results) == 2
+    for r in results:
+        assert len(r.sequence) > 0
+        assert r.pdb and "ATOM" in r.pdb
