@@ -80,7 +80,7 @@ def main():
                     help="D3PM skip steps (None = all T)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "r3_results.jsonl"))
-    ap.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul"],
+    ap.add_argument("--params_dtype", choices=["f32", "bf16", "bf16_matmul", "int8_matmul"],
                     default="f32",
                     help="inference parameter storage dtype (the r4 "
                          "quality pin for --params_dtype bf16)")

@@ -18,7 +18,13 @@ reported as CRASHED with its signal, not silently folded into "failed".
 
 Usage:
     python scripts/run_suite.py            # everything
-    python scripts/run_suite.py --fast     # skip torch-parity shard
+    python scripts/run_suite.py --fast     # skip torch-parity shard AND
+                                           # slow_integration-marked tests
+                                           # (suite budget: ~15 min idle)
+
+Every shard runs with --durations=15 so each summary carries the data to
+re-budget the suite (which tests to move behind the slow_integration
+marker) without a separate profiling run.
 """
 
 import argparse
@@ -100,6 +106,11 @@ def main():
     args = ap.parse_args()
 
     extra = ["-k", args.k] if args.k else []
+    extra += ["--durations=15"]
+    if args.fast:
+        # suite budget (VERDICT r4 #8): the fast gate deselects the
+        # multi-minute integration tests; the full run still covers them
+        extra += ["-m", "not slow_integration"]
     shards = []
     for f in HEAVY:
         shards.append((f, [os.path.join("tests", f), *extra]))
