@@ -80,15 +80,15 @@ def main():
         jbatch["receptor_seq"], jbatch["receptor_angles"],
         jbatch["receptor_attn_mask"])["params"]
 
-    # bf16_matmul parameter storage: cast only the >=2-D kernels to
-    # bf16. The compute path already rounds kernels to bf16 in-program
-    # (bf16 activations), so the sampled outputs are IDENTICAL to f32
-    # params (measured sample-identical on the flagship checkpoint —
-    # BENCHMARKS.md "bf16 parameter storage") while the stored weight
-    # stream halves: ~9% on this B=32 headline. Full "bf16" (biases/LN
-    # too) is the one that broke quality; E3DIFF_BENCH_PARAMS_DTYPE=f32
-    # reproduces the r3 configuration.
-    bench_pdt = os.environ.get("E3DIFF_BENCH_PARAMS_DTYPE", "bf16_matmul")
+    # int8_matmul parameter storage (round 5): >=2-D kernels packed as
+    # int8 + per-channel scales, dequantized inside the scan body — the
+    # HBM-resident per-step decoder weight stream is a quarter of f32.
+    # Measured 1.224 -> 1.204 s on this headline vs the r4 bf16_matmul
+    # default, and quality-gated on the trained flagship (class_acc equal
+    # at the w=1.5 operating point, TV within 0.006 — BENCHMARKS.md
+    # "Int8 weight-only storage"). E3DIFF_BENCH_PARAMS_DTYPE=bf16_matmul
+    # reproduces the r4 configuration, =f32 the r3 one.
+    bench_pdt = os.environ.get("E3DIFF_BENCH_PARAMS_DTYPE", "int8_matmul")
     if bench_pdt not in ("f32", "bf16", "bf16_matmul", "int8_matmul"):
         raise SystemExit(
             f"E3DIFF_BENCH_PARAMS_DTYPE={bench_pdt!r}: expected one of "
