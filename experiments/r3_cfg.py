@@ -178,17 +178,40 @@ def main():
             args.sequence_ckpt, model, next(ds.batches(cfg.batch_size)),
             rng, params_dtype=pdt)
 
+        # per-class split (r5): the corpus couples residue preferences to
+        # the receptor's secondary-structure class (helix-rich vs
+        # strand-rich), so recovery conditioned on the TRUE receptor
+        # class shows whether the model uses the pocket signal per class
+        # or just the global marginal
+        rec_helix = []
+        for i in range(len(ds)):
+            s = ds[i]
+            m = np.asarray(s["receptor_attn_mask"]).astype(bool)
+            rec_helix.append(
+                helix_fraction(np.asarray(s["receptor_angles"])[m]))
+        rec_helix = np.asarray(rec_helix)
+        cls_thr = float(np.median(rec_helix))
+        helix_cls = rec_helix > cls_thr
+
         for w in scales:
             t0 = time.time()
             out = sample_sequence_batches(
                 params, model, d3pm, ds.batches(cfg.batch_size),
                 jax.random.PRNGKey(1234), diverse=True,
                 n_steps=args.seq_steps, guidance_scale=w)
+            rr = np.asarray(out["recovery_rate"])
+            cls = helix_cls[:len(rr)]
             rec = {"exp": f"{args.tag}_sequence", "scale": w,
                    "n_test": len(out["recovery_rate"]),
                    "params_dtype": args.params_dtype,
                    "recovery_mean":
                        round(float(np.mean(out["recovery_rate"])), 4),
+                   "recovery_helix_class":
+                       round(float(rr[cls].mean()), 4) if cls.any() else None,
+                   "recovery_strand_class":
+                       round(float(rr[~cls].mean()), 4)
+                       if (~cls).any() else None,
+                   "class_threshold": round(cls_thr, 4),
                    "wall_s": round(time.time() - t0, 1)}
             print(json.dumps(rec), flush=True)
             results.append(rec)

@@ -508,3 +508,31 @@ def test_dp_accum_train_step_matches_single_device():
                     jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-6, rtol=1e-4)
+
+
+def test_tp_sharded_int8_sampling_matches_single_device():
+    """int8_matmul packed params compose with the mesh: the path-based
+    Megatron rules shard the int8 payload and its per-channel scales
+    consistently (both split the output axis), so a (dp=4, tp=2)-sharded
+    int8 sampler reproduces the single-device int8 samples."""
+    from e3diff_tpu.sampling.structure import make_structure_sampler
+    from e3diff_tpu.utils.quant import quantize_params_int8
+
+    mesh = make_mesh(dp=4, tp=2)
+    model = StructureDenoiser(_cfg(False), _cfg(True))
+    diff = GaussianAngleDiffusion.cosine(1)
+    batch = _batch(8)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((8,), jnp.int32),
+                        *[jnp.asarray(batch[k]) for k in
+                          ["ligand_angles", "ligand_attn_mask", "receptor_seq",
+                           "receptor_angles", "receptor_attn_mask"]])["params"]
+    q = quantize_params_int8(params)
+    sampler = make_structure_sampler(model, diff, return_trajectory=False)
+    key = jax.random.PRNGKey(3)
+
+    single, _ = sampler(q, jbatch, key)
+    sharded, _ = sampler(shard_params(q, mesh),
+                         shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=1e-4)
