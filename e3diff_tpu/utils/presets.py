@@ -47,6 +47,12 @@ class ExperimentConfig:
     # is ~2.3 GB — at every-epoch cadence a slow checkpoint store (e.g. a
     # tunneled host at 5-13 MB/s) costs more than the epoch itself.
     ckpt_every: int = 1
+    # best_val_model selection: "max" is Q4-faithful (the reference's
+    # ModelCheckpoint(mode="max") on val_loss KEEPS THE WORST epoch —
+    # quirk Q4); "min" keeps the true best-val weights. Surfaced by the
+    # r5 sequence flagship: past ~epoch 50 the model overfits, and with
+    # "max" the deployable best-val artifact is never saved.
+    ckpt_mode: str = "max"
     # compile the transformer stacks as one nn.scan'ed layer (≈3x faster
     # cold compiles, ~7% slower steps — use for dev iteration; params get
     # a leading layer axis, converters in models/restack.py)

@@ -93,8 +93,20 @@ def run_shard(name, pytest_args):
         status = "ok (no tests)"
     else:
         status = "FAILED"
+    # harvest pytest's "slowest durations" block so every suite run
+    # carries the data to re-budget the fast gate (slow_integration)
+    durations, in_dur = [], False
+    for line in (proc.stdout or "").splitlines():
+        if "slowest" in line and "durations" in line:
+            in_dur = True
+            continue
+        if in_dur:
+            if line.startswith("=") or not line.strip():
+                in_dur = False
+            else:
+                durations.append(line.strip())
     return {"name": name, "status": status, "rc": proc.returncode,
-            "secs": dt, "counts": counts,
+            "secs": dt, "counts": counts, "durations": durations[:8],
             "tail": "\n".join(tail) if proc.returncode != 0 else ""}
 
 
@@ -132,6 +144,8 @@ def main():
               f"({c.get('passed', 0)} passed, {c.get('failed', 0)} failed, "
               f"{c.get('error', 0)} errors, {c.get('skipped', 0)} skipped; "
               f"{r['secs']:.0f}s)", flush=True)
+        for d in (r["durations"] if r["secs"] > 120 else r["durations"][:3]):
+            print(f"[suite]     {d}", flush=True)
         if r["tail"]:
             print(r["tail"], flush=True)
 

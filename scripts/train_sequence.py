@@ -126,6 +126,7 @@ def main():
         trainer, state, train_batches, val_batches, rng,
         max_epochs=cfg.max_epochs, min_epochs=cfg.min_epochs,
         ckpt_dir=args.ckpt_dir, ckpt_every=cfg.ckpt_every,
+        ckpt_mode=cfg.ckpt_mode,
         profile_dir=args.profile_dir)
     if not history:
         # resumed at/after max_epochs: nothing ran — keep the original

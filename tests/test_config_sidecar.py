@@ -210,3 +210,28 @@ def test_ckpt_bound_fields_are_config_fields():
     # training-only knobs must never be adopted into sampling configs
     assert {"min_epochs", "max_epochs", "lr", "batch_size"}.isdisjoint(
         CKPT_BOUND_FIELDS)
+
+
+def test_ckpt_mode_flag_roundtrip_and_loop_plumbing():
+    """--ckpt_mode (r5): the Q4-faithful 'max' default is overridable to
+    'min' so real runs can keep the true best-val weights (the r5
+    sequence flagship overfit past epoch ~50 and the faithful mode had
+    kept the WORST epoch)."""
+    import argparse
+    import inspect
+
+    from e3diff_tpu.training.loop import train_loop
+    from e3diff_tpu.utils.presets import (
+        add_config_flags,
+        config_from_args,
+        structure_train_config,
+    )
+
+    p = argparse.ArgumentParser()
+    add_config_flags(p, structure_train_config())
+    args = p.parse_args(["--ckpt_mode", "min"])
+    cfg = config_from_args(args)
+    assert cfg.ckpt_mode == "min"
+    assert structure_train_config().ckpt_mode == "max"  # Q4 default
+    # and the loop accepts it (both train CLIs pass cfg.ckpt_mode)
+    assert "ckpt_mode" in inspect.signature(train_loop).parameters
