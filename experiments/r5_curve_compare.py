@@ -1,0 +1,77 @@
+"""Compare the r5 350-epoch structure run's loss curve to the r4 10k-step
+flagship (VERDICT r4 #6: full reference schedule, prove the curve keeps
+its shape at 350 epochs — the reference Trainer's max_epochs,
+structure_model/train_model.py:36-37; its min_epochs is inert, no
+EarlyStopping callback).
+
+Usage: python experiments/r5_curve_compare.py \
+    [--r4 /tmp/r4_runs/structure/history.json] \
+    [--r5 /tmp/r5_runs/structure350/history.json]
+Prints a matched-epoch table + summary stats and appends one JSON line
+to experiments/r5_results.jsonl.
+"""
+
+import argparse
+import json
+import os
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "r5_results.jsonl")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--r4", default="/tmp/r4_runs/structure/history.json")
+    ap.add_argument("--r5",
+                    default="/tmp/r5_runs/structure350/history.json")
+    args = ap.parse_args()
+
+    h4 = json.load(open(args.r4))
+    h5 = json.load(open(args.r5))
+    print(f"r4: {len(h4)} epochs, r5: {len(h5)} epochs")
+    print(f"{'epoch':>6} {'r4 val':>8} {'r5 val':>8} {'delta':>8}")
+    probes = [0, 10, 25, 50, 100, 150, 200, 269, 300, 349]
+    def fmt(v, plus=False):
+        if v is None:
+            return "       —"
+        return f"{v:>+8.4f}" if plus else f"{v:>8.4f}"
+
+    for e in probes:
+        v4 = h4[e]["val_loss"] if e < len(h4) else None
+        v5 = h5[e]["val_loss"] if e < len(h5) else None
+        d = (v5 - v4) if (v4 is not None and v5 is not None) else None
+        print(f"{e:>6} {fmt(v4)} {fmt(v5)} {fmt(d, plus=True)}")
+
+    # shape agreement over the shared range: max |r5-r4| val gap and the
+    # correlation of the two curves (same data/config/seed family — the
+    # curves should track within run-to-run noise)
+    n = min(len(h4), len(h5))
+    v4 = [h4[i]["val_loss"] for i in range(n)]
+    v5 = [h5[i]["val_loss"] for i in range(n)]
+    import numpy as np
+
+    gap = np.abs(np.subtract(v5, v4))
+    corr = float(np.corrcoef(v4, v5)[0, 1])
+    best5 = min(range(len(h5)), key=lambda i: h5[i]["val_loss"])
+    rec = {
+        "exp": "r5_curve_compare",
+        "r4_epochs": len(h4), "r5_epochs": len(h5),
+        "shared_range_corr": round(corr, 5),
+        "shared_range_max_gap": round(float(gap.max()), 4),
+        "shared_range_median_gap": round(float(np.median(gap)), 4),
+        "r4_final_val": round(h4[-1]["val_loss"], 4),
+        "r5_val_at_r4_end": round(h5[len(h4) - 1]["val_loss"], 4)
+        if len(h5) >= len(h4) else None,
+        "r5_final_val": round(h5[-1]["val_loss"], 4),
+        "r5_best_val": round(h5[best5]["val_loss"], 4),
+        "r5_best_epoch": best5,
+        "r5_steps_per_sec_median": round(float(np.median(
+            [r["steps_per_sec"] for r in h5])), 3),
+    }
+    print(json.dumps(rec, indent=2))
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

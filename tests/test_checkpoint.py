@@ -1,6 +1,7 @@
 """Checkpoint save/restore, best-tracking (Q4), and train-loop resume."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +69,7 @@ def test_best_tracker_q4_mode_max(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow_integration   # multi-minute on this host; full suite runs it
 def test_train_loop_resume(tmp_path):
     ds, batch, trainer, state = _setup()
     ckpt_dir = str(tmp_path / "run")
@@ -93,6 +95,7 @@ def test_train_loop_resume(tmp_path):
     assert int(state2.step) == 4
 
 
+@pytest.mark.slow_integration   # multi-minute on this host; full suite runs it
 def test_ema_final_ema_saved_and_resumable(tmp_path):
     """ema_decay runs save a final_ema params artifact, keep the EMA copy
     inside the resumable 'last' state, and resume seamlessly."""
@@ -329,6 +332,7 @@ def test_snapshot_backpressure_bounds_live_copies(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow_integration   # multi-minute on this host; full suite runs it
 def test_cross_topology_resume(tmp_path):
     """A checkpoint saved from a dp x tp sharded state restores onto a
     single-device template (and back onto a mesh) with identical values —

@@ -8,6 +8,7 @@ the existing parity suite (they compile the identical programs).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -105,6 +106,7 @@ def test_drop_conditioning_per_example_all_or_nothing():
                                   np.asarray(batch["ligand_attn_mask"]))
 
 
+@pytest.mark.slow_integration   # multi-minute on this host; full suite runs it
 def test_structure_cond_dropout_one_equals_nulled_batch():
     """cond_dropout=1.0 must train on exactly the null-conditioned batch:
     bit-equal loss to a cond_dropout=0 step fed the hand-nulled batch
@@ -143,6 +145,7 @@ def test_structure_cond_dropout_one_equals_nulled_batch():
     assert float(v_cfg["val_loss"]) == float(v_plain["val_loss"])
 
 
+@pytest.mark.slow_integration   # multi-minute on this host; full suite runs it
 def test_sequence_cond_dropout_one_equals_nulled_batch():
     batch = _batch()
     model = SequenceDenoiser(_tiny_cfg(False, "xavier_all"),

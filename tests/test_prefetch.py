@@ -48,6 +48,7 @@ def test_prefetch_propagates_source_errors():
         list(it)
 
 
+@pytest.mark.slow_integration   # multi-minute on this host; full suite runs it
 def test_train_loop_prefetch_is_bit_identical(tmp_path):
     """prefetch=2 must not change training: same rng stream, same
     batches, same losses as prefetch=0."""
