@@ -213,3 +213,33 @@ def test_d3pm_skip_quality_matches_full_loop(sequence_setup):
     floor = float(_tv(pa, pb))
     tv_skip = float(_tv(ps, pa))
     assert tv_skip < floor + 0.08, (tv_skip, floor)
+
+
+def test_int8_params_quality_within_calibrated_bound(structure_setup):
+    """int8_matmul packed params sample a distribution within the
+    key-to-key noise floor of the f32-params full loop — the
+    deterministic CPU analogue of the flagship quality gate
+    (BENCHMARKS.md round 5). A quantization bug (wrong scale axis,
+    payload/scale mismatch after sharding, broken scan-body dequant)
+    shifts the marginals far beyond key noise; correct packing samples
+    the same distribution to within the int8 grid."""
+    from e3diff_tpu.utils.quant import quantize_params_int8
+
+    model, diff, params, jbatch, mask = structure_setup
+    q = quantize_params_int8(params)
+
+    full_a = _structure_draws(model, diff, params, jbatch, 100)
+    full_b = _structure_draws(model, diff, params, jbatch, 200)
+    int8 = _structure_draws(model, diff, q, jbatch, 400)
+    for d in int8:
+        d = np.asarray(d)
+        assert np.isfinite(d).all()
+        assert (np.abs(d) <= np.pi + 1e-5).all()
+
+    ma = _angle_marginals(full_a, mask)
+    mb = _angle_marginals(full_b, mask)
+    mq = _angle_marginals(int8, mask)
+    floor = _tv(ma, mb)
+    tv_q = _tv(mq, ma)
+    assert tv_q.max() < floor.max() + 0.12, (tv_q, floor)
+    assert tv_q.mean() < floor.mean() + 0.06, (tv_q, floor)
