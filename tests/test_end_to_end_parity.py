@@ -401,7 +401,7 @@ def test_multi_step_adamw_optimizer_parity(grad_clip):
         torch.nn.utils.clip_grad_norm_(ref_full.parameters(), grad_clip)
         optim.step()
         sched.step()     # per-EPOCH stepping, steps_per_epoch=1 (Q12)
-        ref_losses.append(float(loss))
+        ref_losses.append(float(loss.detach()))
 
         state, metrics = trainer.train_step(
             state, {k: jnp.asarray(v) for k, v in b.items()}, rng)
