@@ -26,8 +26,18 @@ def main():
                     default="/tmp/r5_runs/structure350/history.json")
     args = ap.parse_args()
 
-    h4 = json.load(open(args.r4))
     h5 = json.load(open(args.r5))
+    if os.path.exists(args.r4):
+        h4 = json.load(open(args.r4))
+    else:
+        # The r4 history lived in /tmp and did not survive the host
+        # reboot; fall back to the documented r4 flagship anchors
+        # (BENCHMARKS.md "Flagship 10k-step run": same corpus/config/seed
+        # family, 270 epochs, val 0.832 -> 0.161) as a sparse curve.
+        print(f"note: {args.r4} missing — using documented r4 anchors")
+        h4 = [{"val_loss": None}] * 270
+        h4[0] = {"val_loss": 0.832}
+        h4[269] = {"val_loss": 0.161}
     print(f"r4: {len(h4)} epochs, r5: {len(h5)} epochs")
     print(f"{'epoch':>6} {'r4 val':>8} {'r5 val':>8} {'delta':>8}")
     probes = [0, 10, 25, 50, 100, 150, 200, 269, 300, 349]
@@ -45,21 +55,23 @@ def main():
     # shape agreement over the shared range: max |r5-r4| val gap and the
     # correlation of the two curves (same data/config/seed family — the
     # curves should track within run-to-run noise)
-    n = min(len(h4), len(h5))
-    v4 = [h4[i]["val_loss"] for i in range(n)]
-    v5 = [h5[i]["val_loss"] for i in range(n)]
     import numpy as np
 
+    n = min(len(h4), len(h5))
+    pairs = [(h4[i]["val_loss"], h5[i]["val_loss"]) for i in range(n)
+             if h4[i]["val_loss"] is not None]
+    v4, v5 = zip(*pairs)
     gap = np.abs(np.subtract(v5, v4))
-    corr = float(np.corrcoef(v4, v5)[0, 1])
+    corr = (float(np.corrcoef(v4, v5)[0, 1]) if len(pairs) > 2 else None)
     best5 = min(range(len(h5)), key=lambda i: h5[i]["val_loss"])
     rec = {
         "exp": "r5_curve_compare",
         "r4_epochs": len(h4), "r5_epochs": len(h5),
-        "shared_range_corr": round(corr, 5),
+        "r4_anchor_epochs": len(pairs),
+        "shared_range_corr": round(corr, 5) if corr is not None else None,
         "shared_range_max_gap": round(float(gap.max()), 4),
         "shared_range_median_gap": round(float(np.median(gap)), 4),
-        "r4_final_val": round(h4[-1]["val_loss"], 4),
+        "r4_final_val": round(v4[-1], 4),
         "r5_val_at_r4_end": round(h5[len(h4) - 1]["val_loss"], 4)
         if len(h5) >= len(h4) else None,
         "r5_final_val": round(h5[-1]["val_loss"], 4),
